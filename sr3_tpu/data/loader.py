@@ -1,0 +1,127 @@
+"""Host data pipeline: shuffling, batching, background prefetch.
+
+Replaces torch DataLoader (reference data/__init__.py:7-21) with a
+thread-pool loader producing stacked NHWC numpy batches ready for
+``jax.device_put``. Train batches are drop_last so every step has a static
+shape (one jit trace); validation is batch 1 like the reference.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def _collate(samples):
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals, axis=0)
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    """Iterable over batches for one pass of the dataset per iteration."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
+                 drop_last=False, seed=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self):
+        self._epoch += 1
+        if self.num_workers == 0:
+            for batch_idx in self._batches():
+                yield _collate([self.dataset[int(i)] for i in batch_idx])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch_idx in self._batches():
+                    if stop.is_set():
+                        return
+                    samples = list(
+                        pool.map(self.dataset.__getitem__, map(int, batch_idx))
+                    )
+                    q.put(_collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def create_dataloader(dataset, dataset_opt, phase):
+    """Reference data/__init__.py:7-21: train uses config batch/shuffle/
+    workers; val is batch 1, single worker."""
+    if phase == "train":
+        return DataLoader(
+            dataset,
+            batch_size=dataset_opt["batch_size"],
+            shuffle=dataset_opt["use_shuffle"],
+            num_workers=dataset_opt.get("num_workers", 0) or 0,
+            drop_last=True,
+        )
+    if phase == "val":
+        return DataLoader(dataset, batch_size=1, shuffle=False, num_workers=1)
+    raise NotImplementedError(f"Dataloader [{phase}] is not found.")
+
+
+def create_dataset(dataset_opt, phase):
+    """Reference data/__init__.py:24-39."""
+    import logging
+
+    from sr3_tpu.data.lrhr import LRHRDataset
+
+    mode = dataset_opt["mode"]
+    dataset = LRHRDataset(
+        dataroot=dataset_opt["dataroot"],
+        datatype=dataset_opt["datatype"],
+        l_resolution=dataset_opt["l_resolution"],
+        r_resolution=dataset_opt["r_resolution"],
+        split=phase,
+        data_len=dataset_opt["data_len"] if dataset_opt["data_len"] is not None else -1,
+        need_LR=(mode == "LRHR"),
+    )
+    logging.getLogger("base").info(
+        "Dataset [%s - %s] is created.",
+        dataset.__class__.__name__,
+        dataset_opt["name"],
+    )
+    return dataset

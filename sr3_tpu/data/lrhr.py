@@ -1,0 +1,142 @@
+"""Paired LR/SR/HR dataset over PNG directories or LMDB.
+
+Capability-parity with the reference's LRHRDataset (data/LRHR_dataset.py:9-99):
+- img mode: sorted recursive walks of `{root}/sr_{l}_{r}`, `{root}/hr_{r}`,
+  `{root}/lr_{l}`;
+- lmdb mode: keys `hr_{r}_{idx:05d}` / `sr_{l}_{r}_{idx:05d}` / `lr_{l}_{idx:05d}`
+  with length from the `length` key and random resampling of invalid indices;
+- `data_len` truncation, `need_LR` switch, output scaled to [-1, 1].
+
+Output layout is NHWC float32 (TPU-native) instead of torch CHW tensors.
+LMDB is optional: gated on import so the PNG path works without the package.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from io import BytesIO
+
+import numpy as np
+from PIL import Image
+
+IMG_EXTENSIONS = (
+    ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG",
+    ".ppm", ".PPM", ".bmp", ".BMP",
+)
+
+
+def get_paths_from_images(path):
+    """Sorted recursive listing (reference data/util.py:15-24)."""
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if fname.endswith(IMG_EXTENSIONS):
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return sorted(images)
+
+
+def _pil_to_array(img: Image.Image) -> np.ndarray:
+    """PIL RGB -> float32 HWC in [0,1] (torchvision.ToTensor analog)."""
+    return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+class LRHRDataset:
+    """Map-style dataset; __getitem__ returns a dict of HWC float32 arrays in
+    [-1, 1] plus 'Index'. The paired random horizontal flip is applied jointly
+    to all images of a sample in train split (reference data/util.py:74-83)."""
+
+    def __init__(self, dataroot, datatype, l_resolution=16, r_resolution=128,
+                 split="train", data_len=-1, need_LR=False, min_max=(-1, 1)):
+        self.datatype = datatype
+        self.l_res = l_resolution
+        self.r_res = r_resolution
+        self.data_len = data_len
+        self.need_LR = need_LR
+        self.split = split
+        self.min_max = min_max
+
+        if datatype == "lmdb":
+            try:
+                import lmdb
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "datatype 'lmdb' requires the lmdb package; use "
+                    "datatype 'img' or install lmdb"
+                ) from e
+            self.env = lmdb.open(
+                dataroot, readonly=True, lock=False, readahead=False,
+                meminit=False,
+            )
+            with self.env.begin(write=False) as txn:
+                self.dataset_len = int(txn.get(b"length"))
+            self.data_len = (
+                self.dataset_len if self.data_len <= 0
+                else min(self.data_len, self.dataset_len)
+            )
+        elif datatype == "img":
+            self.sr_path = get_paths_from_images(
+                f"{dataroot}/sr_{l_resolution}_{r_resolution}"
+            )
+            self.hr_path = get_paths_from_images(f"{dataroot}/hr_{r_resolution}")
+            if need_LR:
+                self.lr_path = get_paths_from_images(
+                    f"{dataroot}/lr_{l_resolution}"
+                )
+            self.dataset_len = len(self.hr_path)
+            self.data_len = (
+                self.dataset_len if self.data_len <= 0
+                else min(self.data_len, self.dataset_len)
+            )
+        else:
+            raise NotImplementedError(f"data_type [{datatype}] is not recognized.")
+
+    def __len__(self):
+        return self.data_len
+
+    def _read_lmdb(self, index):
+        with self.env.begin(write=False) as txn:
+            def fetch(idx):
+                hr = txn.get(f"hr_{self.r_res}_{str(idx).zfill(5)}".encode())
+                sr = txn.get(
+                    f"sr_{self.l_res}_{self.r_res}_{str(idx).zfill(5)}".encode()
+                )
+                lr = (
+                    txn.get(f"lr_{self.l_res}_{str(idx).zfill(5)}".encode())
+                    if self.need_LR else None
+                )
+                return hr, sr, lr
+
+            hr, sr, lr = fetch(index)
+            # skip invalid indices by random resample (reference :67-82)
+            while hr is None or sr is None:
+                hr, sr, lr = fetch(random.randint(0, self.data_len - 1))
+        img_hr = Image.open(BytesIO(hr))
+        img_sr = Image.open(BytesIO(sr))
+        img_lr = Image.open(BytesIO(lr)) if self.need_LR else None
+        return img_hr, img_sr, img_lr
+
+    def __getitem__(self, index):
+        if self.datatype == "lmdb":
+            img_hr, img_sr, img_lr = self._read_lmdb(index)
+        else:
+            img_hr = Image.open(self.hr_path[index])
+            img_sr = Image.open(self.sr_path[index])
+            img_lr = Image.open(self.lr_path[index]) if self.need_LR else None
+
+        imgs = [img_sr, img_hr] if img_lr is None else [img_lr, img_sr, img_hr]
+        arrays = [_pil_to_array(im) for im in imgs]
+
+        if self.split == "train" and random.random() < 0.5:
+            arrays = [a[:, ::-1, :].copy() for a in arrays]
+
+        lo, hi = self.min_max
+        arrays = [a * (hi - lo) + lo for a in arrays]
+
+        if self.need_LR:
+            lr, sr, hr = arrays
+            return {"LR": lr, "HR": hr, "SR": sr, "Index": index}
+        sr, hr = arrays
+        return {"HR": hr, "SR": sr, "Index": index}

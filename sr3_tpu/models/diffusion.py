@@ -1,0 +1,260 @@
+"""Gaussian diffusion core: training losses + reverse-chain sampling.
+
+Functional re-design of the reference's GaussianDiffusion
+(model/sr3_modules/diffusion.py:64-249, model/ddpm_modules/diffusion.py).
+Two conditioning modes share one implementation:
+
+- ``cond_mode='sr3'``: continuous noise level. Training draws one scalar
+  t ~ U{1..T} per step and per-sample sqrt-gamma ~ U[sqrt_acp[t-1],
+  sqrt_acp[t]] (reference sr3_modules/diffusion.py:221-246); sampling
+  conditions the net on the scalar sqrt_alphas_cumprod_prev[t+1]
+  (:151-167).
+- ``cond_mode='ddpm'``: discrete timesteps. Training draws t ~ U{0..T-1}
+  per sample (reference ddpm_modules/diffusion.py:278-294); sampling
+  conditions on the integer t.
+
+TPU-first differences from the reference:
+- the entire reverse chain is ONE compiled ``lax.scan`` — the reference runs
+  a Python loop with a host round-trip per step
+  (sr3_modules/diffusion.py:193, the #1 perf problem noted in SURVEY §3.2);
+- RNG is on-device ``jax.random`` instead of host numpy
+  (sr3_modules/diffusion.py:224-233);
+- data layout is NHWC.
+
+All functions are pure: (params, schedule, data, rng) -> result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sr3_tpu.models.schedule import Schedule
+from sr3_tpu.models.unet import UNet
+
+
+def q_sample_gamma(x_start, sqrt_gamma, noise):
+    """SR3 forward noising with continuous per-sample sqrt-gamma
+    (reference sr3_modules/diffusion.py:212-219). sqrt_gamma: (b,1)."""
+    g = sqrt_gamma.reshape(-1, 1, 1, 1)
+    return g * x_start + jnp.sqrt(1.0 - g ** 2) * noise
+
+
+def q_sample_t(sched: Schedule, x_start, t, noise):
+    """DDPM forward noising at integer timesteps t: (b,)
+    (reference ddpm_modules/diffusion.py:259-267)."""
+    c1 = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    c2 = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    return c1 * x_start + c2 * noise
+
+
+def _snapshot_count(num_timesteps: int) -> int:
+    """Frames collected by the reference's `i % sample_inter == 0` rule with
+    sample_inter = 1 | (T // 10) — bitwise OR, faithfully reproduced
+    (sr3_modules/diffusion.py:179)."""
+    inter = 1 | (num_timesteps // 10)
+    return (num_timesteps - 1) // inter + 1, inter
+
+
+class GaussianDiffusion:
+    """Stateless orchestrator binding a UNet to the diffusion math.
+
+    Unlike the reference (an nn.Module holding mutable buffers), this class
+    holds only static configuration; params and Schedule flow through calls.
+    """
+
+    def __init__(
+        self,
+        denoise_fn: UNet,
+        image_size: int,
+        channels: int = 3,
+        loss_type: str = "l1",
+        conditional: bool = True,
+        cond_mode: str = "sr3",
+    ):
+        self.denoise_fn = denoise_fn
+        self.image_size = image_size
+        self.channels = channels
+        self.loss_type = loss_type
+        self.conditional = conditional
+        self.cond_mode = cond_mode
+
+    # ------------------------------------------------------------------ loss
+
+    def p_losses(self, params, sched: Schedule, batch, rng, train: bool = True):
+        """Training loss. ``batch`` holds NHWC arrays 'HR' (+'SR' if
+        conditional) in [-1, 1]. Returns scalar sum-loss / (b*h*w*c),
+        identical to the reference's normalization (model/model.py:52-53)."""
+        x_start = batch["HR"]
+        b, h, w, c = x_start.shape
+        key_t, key_g, key_n, key_d = jax.random.split(rng, 4)
+        noise = jax.random.normal(key_n, x_start.shape, dtype=jnp.float32)
+
+        if self.cond_mode == "sr3":
+            # one scalar t per step, per-sample continuous gamma within bin t
+            t = jax.random.randint(key_t, (), 1, sched.num_timesteps + 1)
+            lo = sched.sqrt_alphas_cumprod_prev[t - 1]
+            hi = sched.sqrt_alphas_cumprod_prev[t]
+            sqrt_gamma = jax.random.uniform(key_g, (b, 1)) * (hi - lo) + lo
+            x_noisy = q_sample_gamma(x_start, sqrt_gamma, noise)
+            cond_in = sqrt_gamma.reshape(b)
+        else:
+            t = jax.random.randint(key_t, (b,), 0, sched.num_timesteps)
+            x_noisy = q_sample_t(sched, x_start, t, noise)
+            cond_in = t.astype(jnp.float32)
+
+        if self.conditional:
+            net_in = jnp.concatenate([batch["SR"], x_noisy], axis=-1)
+        else:
+            net_in = x_noisy
+
+        rngs = {"dropout": key_d} if train else None
+        pred = self.denoise_fn.apply(
+            params, net_in, cond_in, train=train, rngs=rngs
+        )
+
+        diff = noise - pred
+        if self.loss_type == "l1":
+            loss = jnp.sum(jnp.abs(diff))
+        elif self.loss_type == "l2":
+            loss = jnp.sum(jnp.square(diff))
+        else:
+            raise NotImplementedError(self.loss_type)
+        return loss / (b * h * w * c)
+
+    # -------------------------------------------------------------- sampling
+
+    def p_sample_step(self, params, sched: Schedule, img, t, key,
+                      condition_x=None, clip_denoised: bool = True):
+        """One reverse step x_t -> x_{t-1} (reference
+        sr3_modules/diffusion.py:141-174). ``t`` may be a traced scalar."""
+        b = img.shape[0]
+        if self.cond_mode == "sr3":
+            lvl = jnp.broadcast_to(
+                sched.sqrt_alphas_cumprod_prev[t + 1], (b,)
+            ).astype(jnp.float32)
+        else:
+            lvl = jnp.broadcast_to(t, (b,)).astype(jnp.float32)
+
+        if condition_x is not None:
+            net_in = jnp.concatenate([condition_x, img], axis=-1)
+        else:
+            net_in = img
+        eps = self.denoise_fn.apply(params, net_in, lvl, train=False)
+
+        x_recon = (
+            sched.sqrt_recip_alphas_cumprod[t] * img
+            - sched.sqrt_recipm1_alphas_cumprod[t] * eps
+        )
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+
+        mean = (
+            sched.posterior_mean_coef1[t] * x_recon
+            + sched.posterior_mean_coef2[t] * img
+        )
+        log_var = sched.posterior_log_variance_clipped[t]
+        noise = jax.random.normal(key, img.shape, dtype=jnp.float32)
+        nonzero = (t > 0).astype(jnp.float32)
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def p_sample_loop(self, params, sched: Schedule, x_in, rng,
+                      continuous: bool = False, clip_denoised: bool = True):
+        """Full reverse chain as a single lax.scan.
+
+        ``x_in``: condition image (b,h,w,c) when conditional, else a shape
+        tuple. Returns the final image (b,h,w,c), or — when ``continuous`` —
+        the stacked process frames ((1+n_snap)*b, h, w, c): frame 0 is the
+        input condition (or the initial noise when unconditional), matching
+        reference sr3_modules/diffusion.py:176-200.
+        """
+        T = sched.num_timesteps
+        n_snap, inter = _snapshot_count(T)
+
+        if self.conditional:
+            condition_x = x_in
+            shape = x_in.shape
+        else:
+            condition_x = None
+            shape = tuple(x_in)
+        b = shape[0]
+
+        key_init, key_chain = jax.random.split(rng)
+        img0 = jax.random.normal(key_init, shape, dtype=jnp.float32)
+
+        if continuous:
+            snaps0 = jnp.zeros((n_snap,) + shape, jnp.float32)
+
+            def step(carry, t):
+                img, key, snaps = carry
+                key, sub = jax.random.split(key)
+                img = self.p_sample_step(
+                    params, sched, img, t, sub, condition_x, clip_denoised
+                )
+                write_idx = (n_snap - 1) - t // inter
+                snaps = jax.lax.cond(
+                    t % inter == 0,
+                    lambda s: jax.lax.dynamic_update_slice(
+                        s, img[None], (write_idx, 0, 0, 0, 0)
+                    ),
+                    lambda s: s,
+                    snaps,
+                )
+                return (img, key, snaps), None
+
+            ts = jnp.arange(T - 1, -1, -1)
+            (img, _, snaps), _ = jax.lax.scan(
+                step, (img0, key_chain, snaps0), ts
+            )
+            first = condition_x if self.conditional else img0
+            frames = jnp.concatenate([first[None], snaps], axis=0)
+            return frames.reshape((-1,) + shape[1:])
+
+        def step(carry, t):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            img = self.p_sample_step(
+                params, sched, img, t, sub, condition_x, clip_denoised
+            )
+            return (img, key), None
+
+        ts = jnp.arange(T - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (img0, key_chain), ts)
+        return img
+
+    def sample(self, params, sched, rng, batch_size=1, continuous=False):
+        """Unconditional generation (reference sr3_modules/diffusion.py:202-206)."""
+        shape = (batch_size, self.image_size, self.image_size, self.channels)
+        return self.p_sample_loop(params, sched, shape, rng, continuous)
+
+    def super_resolution(self, params, sched, x_sr, rng, continuous=False):
+        """Conditional SR from the bicubic-upsampled LR image
+        (reference sr3_modules/diffusion.py:208-210)."""
+        return self.p_sample_loop(params, sched, x_sr, rng, continuous)
+
+    def interpolate(self, params, sched: Schedule, x1, x2, rng,
+                    t: Optional[int] = None, lam: float = 0.5):
+        """Latent-space blend of two images then reverse diffusion
+        (reference ddpm_modules/diffusion.py:242-257; ddpm mode only)."""
+        assert self.cond_mode == "ddpm", "interpolate is a DDPM-mode API"
+        T = sched.num_timesteps
+        t = T - 1 if t is None else int(t)
+        b = x1.shape[0]
+        k1, k2, kc = jax.random.split(rng, 3)
+        tb = jnp.full((b,), t, jnp.int32)
+        xt1 = q_sample_t(sched, x1, tb, jax.random.normal(k1, x1.shape))
+        xt2 = q_sample_t(sched, x2, tb, jax.random.normal(k2, x2.shape))
+        img = (1 - lam) * xt1 + lam * xt2
+
+        def step(carry, ti):
+            im, key = carry
+            key, sub = jax.random.split(key)
+            im = self.p_sample_step(params, sched, im, ti, sub, None, True)
+            return (im, key), None
+
+        ts = jnp.arange(t - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (img, kc), ts)
+        return img

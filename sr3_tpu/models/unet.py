@@ -1,0 +1,333 @@
+"""Epsilon-prediction UNet, TPU-native (flax.linen, NHWC).
+
+One parameterized backbone replaces the reference's two ~90%-duplicated trees
+(model/sr3_modules/unet.py:161-259 and model/ddpm_modules/unet.py:146-243).
+The conditioning switch selects:
+
+- ``cond_mode='sr3'``: continuous noise-level (sqrt-gamma) input, WaveGrad-style
+  positional encoding, FiLM injection after the first block
+  (reference sr3_modules/unet.py:18-50,94-110);
+- ``cond_mode='ddpm'``: integer-timestep input, sinusoidal embedding, bias
+  injection through Swish->Dense (reference ddpm_modules/unet.py:19-34,78-96).
+
+Both share identical frequencies: exp(-ln(1e4) * i/count), i in [0, dim/2).
+
+Structure parity (for the .pth weight converter): layer indices mirror the
+reference ModuleLists — ``downs_0`` is the stem conv, then ResnetBlocWithAttn /
+Downsample entries, ``mid_0``/``mid_1``, ``ups_i``, ``final_conv``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sr3_tpu.ops.attention import self_attention
+from sr3_tpu.ops.groupnorm import group_norm_swish
+
+
+def _kernel_init(init_type: str):
+    if init_type == "orthogonal":
+        # reference trains with orthogonal init, gain 1 (model/networks.py:45-57,110-112)
+        return nn.initializers.orthogonal()
+    if init_type == "kaiming":
+        return nn.initializers.variance_scaling(0.2, "fan_in", "normal")
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=0.02)
+    return nn.initializers.lecun_normal()
+
+
+def positional_encoding(cond: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(b,) condition scalar -> (b, dim) [sin || cos] features.
+
+    Matches both reference encoders (sr3_modules/unet.py:23-31,
+    ddpm_modules/unet.py:29-34): freq_i = exp(-ln(1e4) * i / (dim/2)).
+    """
+    count = dim // 2
+    cond = cond.reshape(-1).astype(jnp.float32)
+    step = jnp.arange(count, dtype=jnp.float32) / count
+    enc = cond[:, None] * jnp.exp(-math.log(1e4) * step[None, :])
+    return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+
+
+class GroupNormSwish(nn.Module):
+    """GroupNorm with optional fused SiLU epilogue (Pallas on TPU)."""
+
+    num_groups: int
+    swish: bool = True
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_swish(
+            x, scale, bias, self.num_groups, eps=1e-5, swish=self.swish,
+            use_pallas=self.use_pallas,
+        )
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> Dropout -> Conv3x3 (reference unet.py:80-91)."""
+
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    init_type: str = "orthogonal"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = GroupNormSwish(num_groups=self.groups, name="norm")(x)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = nn.Conv(
+            self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, kernel_init=_kernel_init(self.init_type),
+            name="conv",
+        )(h.astype(self.dtype))
+        return h
+
+
+class ResnetBlock(nn.Module):
+    """Block -> conditioning injection -> Block + 1x1 skip
+    (reference sr3_modules/unet.py:94-110 / ddpm_modules/unet.py:78-96)."""
+
+    dim_out: int
+    cond_mode: str = "sr3"  # 'sr3' | 'ddpm'
+    use_affine_level: bool = False
+    norm_groups: int = 32
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    init_type: str = "orthogonal"
+
+    @nn.compact
+    def __call__(self, x, emb, *, train: bool = False):
+        dim = x.shape[-1]
+        h = Block(
+            self.dim_out, groups=self.norm_groups, dtype=self.dtype,
+            init_type=self.init_type, name="block1",
+        )(x, train=train)
+
+        if emb is not None:
+            dense = lambda feats, name: nn.Dense(
+                feats, dtype=self.dtype,
+                kernel_init=_kernel_init(self.init_type), name=name,
+            )
+            if self.cond_mode == "ddpm":
+                # Swish on the embedding, additive bias (ddpm_modules/unet.py:78-96)
+                e = nn.swish(emb.astype(jnp.float32)).astype(self.dtype)
+                h = h + dense(self.dim_out, "cond_proj")(e)[:, None, None, :]
+            elif self.use_affine_level:
+                gb = dense(2 * self.dim_out, "cond_proj")(emb.astype(self.dtype))
+                gamma, beta = jnp.split(gb[:, None, None, :], 2, axis=-1)
+                h = (1 + gamma) * h + beta
+            else:
+                h = h + dense(self.dim_out, "cond_proj")(
+                    emb.astype(self.dtype)
+                )[:, None, None, :]
+
+        h = Block(
+            self.dim_out, groups=self.norm_groups, dropout=self.dropout,
+            dtype=self.dtype, init_type=self.init_type, name="block2",
+        )(h, train=train)
+
+        if dim != self.dim_out:
+            x = nn.Conv(
+                self.dim_out, (1, 1), dtype=self.dtype,
+                kernel_init=_kernel_init(self.init_type), name="res_conv",
+            )(x.astype(self.dtype))
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """Spatial self-attention with residual (reference unet.py:113-142).
+
+    Single head by default; the softmax scale is 1/sqrt(channel) over the FULL
+    channel count even for n_head > 1, matching the reference's quirk
+    (sr3_modules/unet.py:132-134).
+    """
+
+    n_head: int = 1
+    norm_groups: int = 32
+    dtype: Any = jnp.float32
+    init_type: str = "orthogonal"
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        head_dim = c // self.n_head
+        n = GroupNormSwish(num_groups=self.norm_groups, swish=False, name="norm")(x)
+        qkv = nn.Conv(
+            c * 3, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=_kernel_init(self.init_type), name="qkv",
+        )(n.astype(self.dtype))
+        # torch layout: heads-major, (q,k,v) within each head
+        qkv = qkv.reshape(b, h * w, self.n_head, 3, head_dim)
+        qkv = jnp.moveaxis(qkv, 1, 2).reshape(b * self.n_head, h * w, 3, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = self_attention(q, k, v, scale=1.0 / math.sqrt(c),
+                             use_flash=self.use_flash)
+        out = out.reshape(b, self.n_head, h * w, head_dim)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, h, w, c)
+        out = nn.Conv(
+            c, (1, 1), dtype=self.dtype,
+            kernel_init=_kernel_init(self.init_type), name="out",
+        )(out.astype(self.dtype))
+        return x + out
+
+
+class ResnetBlocWithAttn(nn.Module):
+    dim_out: int
+    cond_mode: str = "sr3"
+    use_affine_level: bool = False
+    norm_groups: int = 32
+    dropout: float = 0.0
+    with_attn: bool = False
+    dtype: Any = jnp.float32
+    init_type: str = "orthogonal"
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, emb, *, train: bool = False):
+        x = ResnetBlock(
+            self.dim_out, cond_mode=self.cond_mode,
+            use_affine_level=self.use_affine_level,
+            norm_groups=self.norm_groups, dropout=self.dropout,
+            dtype=self.dtype, init_type=self.init_type, name="res_block",
+        )(x, emb, train=train)
+        if self.with_attn:
+            x = SelfAttention(
+                norm_groups=self.norm_groups, dtype=self.dtype,
+                init_type=self.init_type, use_flash=self.use_flash, name="attn",
+            )(x)
+        return x
+
+
+class UNet(nn.Module):
+    """The denoiser backbone (reference sr3_modules/unet.py:161-259).
+
+    Input/output are NHWC. ``cond`` is the continuous sqrt-gamma noise level
+    (sr3) or the float-cast integer timestep (ddpm), shape (b,) or (b,1).
+    """
+
+    in_channel: int = 6
+    out_channel: int = 3
+    inner_channel: int = 32
+    norm_groups: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 8)
+    attn_res: Sequence[int] = (8,)
+    res_blocks: int = 3
+    dropout: float = 0.0
+    with_cond_emb: bool = True
+    image_size: int = 128
+    cond_mode: str = "sr3"
+    use_affine_level: bool = False
+    dtype: Any = jnp.float32
+    init_type: str = "orthogonal"
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, cond, *, train: bool = False):
+        assert x.shape[-1] == self.in_channel, (
+            f"expected {self.in_channel} input channels (NHWC), got {x.shape}"
+        )
+        ic = self.inner_channel
+        dense = lambda feats, name: nn.Dense(
+            feats, dtype=self.dtype, kernel_init=_kernel_init(self.init_type),
+            name=name,
+        )
+
+        if self.with_cond_emb:
+            e = positional_encoding(cond, ic)
+            e = dense(ic * 4, "cond_mlp_dense0")(e.astype(self.dtype))
+            e = nn.swish(e)
+            emb = dense(ic, "cond_mlp_dense1")(e)
+        else:
+            emb = None
+
+        rba = lambda dim_out, with_attn, name: ResnetBlocWithAttn(
+            dim_out, cond_mode=self.cond_mode,
+            use_affine_level=self.use_affine_level,
+            norm_groups=self.norm_groups, dropout=self.dropout,
+            with_attn=with_attn, dtype=self.dtype, init_type=self.init_type,
+            use_flash=self.use_flash, name=name,
+        )
+
+        num_mults = len(self.channel_mults)
+        attn_res = tuple(self.attn_res)
+        x = x.astype(self.dtype)
+
+        # ----- down path: feats pushed after EVERY layer (reference :235-245)
+        layer_idx = 0
+        x = nn.Conv(
+            ic, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+            kernel_init=_kernel_init(self.init_type), name=f"downs_{layer_idx}",
+        )(x)
+        layer_idx += 1
+        feats = [x]
+        pre_channel = ic
+        now_res = self.image_size
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            use_attn = now_res in attn_res
+            channel_mult = ic * self.channel_mults[ind]
+            for _ in range(self.res_blocks):
+                x = rba(channel_mult, use_attn, f"downs_{layer_idx}")(
+                    x, emb, train=train
+                )
+                layer_idx += 1
+                feats.append(x)
+                pre_channel = channel_mult
+            if not is_last:
+                # Downsample: conv3x3 stride 2, torch padding=1 (unet.py:68-74)
+                x = nn.Conv(
+                    pre_channel, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    kernel_init=_kernel_init(self.init_type),
+                    name=f"downs_{layer_idx}",
+                )(x)
+                layer_idx += 1
+                feats.append(x)
+                now_res //= 2
+
+        # ----- mid (reference :210-215)
+        x = rba(pre_channel, True, "mid_0")(x, emb, train=train)
+        x = rba(pre_channel, False, "mid_1")(x, emb, train=train)
+
+        # ----- up path with skip concat (reference :217-231,253-257)
+        layer_idx = 0
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            use_attn = now_res in attn_res
+            channel_mult = ic * self.channel_mults[ind]
+            for _ in range(self.res_blocks + 1):
+                skip = feats.pop()
+                x = rba(channel_mult, use_attn, f"ups_{layer_idx}")(
+                    jnp.concatenate([x, skip], axis=-1), emb, train=train
+                )
+                layer_idx += 1
+                pre_channel = channel_mult
+            if not is_last:
+                # Upsample: nearest x2 then conv3x3 (unet.py:58-65)
+                b_, h_, w_, c_ = x.shape
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(
+                    pre_channel, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, kernel_init=_kernel_init(self.init_type),
+                    name=f"ups_{layer_idx}",
+                )(x)
+                layer_idx += 1
+                now_res *= 2
+
+        out = Block(
+            self.out_channel, groups=self.norm_groups, dtype=self.dtype,
+            init_type=self.init_type, name="final_conv",
+        )(x, train=train)
+        return out.astype(jnp.float32)

@@ -1,0 +1,111 @@
+"""Self-attention over spatial tokens: XLA reference path + Pallas flash kernel.
+
+The reference materializes the full (HW)x(HW) attention matrix with einsum
+(model/sr3_modules/unet.py:132-139), which is why it had to disable attention
+at 512x512 (config/sr_sr3_64_512.json attn_res=[]). The flash kernel here is
+O(HW) in memory via online softmax, so attention stays enabled at any
+resolution.
+
+Layout: (batch*heads, seq, head_dim) with seq = H*W. Non-causal, no mask.
+Feature-map resolutions are powers of two, so seq is always a power of two;
+the flash path requires seq to be a multiple of the K block (256) and falls
+back to XLA otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def attention_xla(q, k, v, scale):
+    """Reference attention. q,k,v: (bh, seq, d). Returns (bh, seq, d) in f32."""
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
+    """Online-softmax attention for one (batch-head, q-block) grid cell.
+
+    Refs carry a leading singleton batch-head axis from the BlockSpec:
+    q_ref: (1, block_q, d); k_ref/v_ref: (1, seq, d). f32 accumulation on MXU.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    block_q, d = q.shape
+    num_kb = seq_len // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def attention_flash(q, k, v, scale, block_q=256, block_k=256, interpret=False):
+    """Flash attention. q,k,v: (bh, seq, d) with seq % block == 0."""
+    bh, seq, d = q.shape
+    block_q = min(block_q, seq)
+    block_k = min(block_k, seq)
+    if seq % block_q or seq % block_k:
+        raise ValueError(f"seq={seq} must be a multiple of blocks "
+                         f"({block_q},{block_k}); use attention_xla")
+
+    grid = (bh, seq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_len=seq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
+def self_attention(q, k, v, scale, use_flash=None, interpret=False):
+    """Dispatch between the XLA path and the Pallas flash kernel.
+
+    q,k,v: (bh, seq, d). Flash kicks in for long sequences on TPU where the
+    O(seq^2) materialization would dominate HBM traffic.
+    """
+    bh, seq, d = q.shape
+    if use_flash is None:
+        use_flash = (
+            seq >= 1024
+            and seq % 256 == 0
+            and jax.default_backend() == "tpu"
+        )
+    if use_flash and seq % min(256, seq) == 0:
+        return attention_flash(q, k, v, scale, interpret=interpret)
+    return attention_xla(q, k, v, scale)

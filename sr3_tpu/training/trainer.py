@@ -1,0 +1,360 @@
+"""Trainer: optimizer, jitted train/eval steps, EMA, checkpointing.
+
+The TPU-native counterpart of the reference's DDPM(BaseModel) wrapper
+(model/model.py:12-166, model/base_model.py). Differences by design:
+
+- train_step is a single donated jit: forward + grad + adam update happen in
+  one compiled program; the batch is sharded over the mesh 'data' axis and
+  XLA inserts the psum-mean of gradients (the reference used
+  nn.DataParallel's replicate/scatter/gather each step).
+- the optimizer is optax.adam (lr from config, reference model/model.py:39-40).
+- `finetune_norm` freezes everything except params whose path contains
+  'transformer' and zero-inits those, matching model/model.py:26-35.
+- EMA of params is implemented (the reference parses `ema_scheduler` but
+  never uses it — config/sr_sr3_16_128.json:87-91); enable with
+  train.ema_scheduler.use_ema=true. Off by default for parity.
+- checkpoints are orbax pytrees under `I{iter}_E{epoch}_gen` / `_opt`
+  directories, mirroring the reference's naming (model/model.py:124-144) and
+  resume-from-prefix semantics (:146-166).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct, traverse_util
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sr3_tpu.models.diffusion import GaussianDiffusion
+from sr3_tpu.models.networks import count_params, define_G, init_params
+from sr3_tpu.models.schedule import Schedule, make_schedule
+from sr3_tpu.parallel.mesh import create_mesh, shard_batch
+
+logger = logging.getLogger("base")
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+    step: jnp.ndarray  # int32 scalar
+
+
+def _finetune_mask(params):
+    """True (trainable) for params whose path mentions 'transformer'
+    (reference model/model.py:26-35)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        k: any("transformer" in str(p).lower() for p in k) for k in flat
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+class Trainer:
+    """Owns the diffusion model, optimizer, schedules, and jit caches."""
+
+    def __init__(self, opt, mesh=None):
+        self.opt = opt
+        self.diffusion: GaussianDiffusion = define_G(opt)
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.conditional = self.diffusion.conditional
+        self.phase = opt.get("phase", "train")
+
+        seed = opt.get("seed", 0) or 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = init_params(self.diffusion, init_rng)
+
+        # EMA config (reference parses this block but never uses it;
+        # we activate only on explicit opt-in)
+        ema_opt = (opt.get("train") or {}).get("ema_scheduler") or {}
+        self.use_ema = bool(ema_opt.get("use_ema", False))
+        self.ema_decay = float(ema_opt.get("ema_decay", 0.9999))
+        self.step_start_ema = int(ema_opt.get("step_start_ema", 5000))
+
+        # optimizer
+        if self.phase == "train":
+            lr = opt["train"]["optimizer"]["lr"]
+            tx = optax.adam(lr)
+            if opt["model"].get("finetune_norm"):
+                mask = _finetune_mask(params)
+                tx = optax.multi_transform(
+                    {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
+                    jax.tree_util.tree_map(
+                        lambda m: "train" if m else "freeze", mask
+                    ),
+                )
+                # zero-init the finetuned params (model/model.py:30-33)
+                flatp = traverse_util.flatten_dict(params)
+                flatm = traverse_util.flatten_dict(mask)
+                for k, m in flatm.items():
+                    if m:
+                        flatp[k] = jnp.zeros_like(flatp[k])
+                params = traverse_util.unflatten_dict(flatp)
+            self.tx = tx
+            opt_state = tx.init(params)
+        else:
+            self.tx = None
+            opt_state = ()
+
+        ema_params = params if self.use_ema else None
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            step=jnp.int32(0),
+        )
+        # replicate state over the mesh
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+
+        self.schedules: Dict[str, Schedule] = {}
+        self.schedule_phase = None
+        self.sched: Optional[Schedule] = None
+
+        self.log_dict = {}
+        self.data = None
+        self.output = None
+
+        self._train_step_fn = None
+        self._sample_cache = {}
+
+        self.begin_step = 0
+        self.begin_epoch = 0
+        self.load_network()
+
+    # ------------------------------------------------------------- schedules
+
+    def set_new_noise_schedule(self, schedule_opt, schedule_phase="train"):
+        """Switch the active Schedule (reference model/model.py:80-93)."""
+        if self.schedule_phase != schedule_phase:
+            self.schedule_phase = schedule_phase
+            key = repr(sorted(dict(schedule_opt).items()))
+            if key not in self.schedules:
+                self.schedules[key] = make_schedule(schedule_opt)
+            self.sched = self.schedules[key]
+
+    # ------------------------------------------------------------------ data
+
+    def feed_data(self, data):
+        """Host batch (numpy NHWC dict) -> device, sharded on 'data'
+        (reference model/model.py:45-46)."""
+        arrays = {
+            k: v for k, v in data.items() if isinstance(v, np.ndarray) and v.ndim > 1
+        }
+        self.data = {**data, **shard_batch(arrays, self.mesh)}
+
+    # ------------------------------------------------------------- training
+
+    def _build_train_step(self):
+        diffusion = self.diffusion
+        tx = self.tx
+        use_ema = self.use_ema
+        ema_decay = self.ema_decay
+        step_start_ema = self.step_start_ema
+
+        def train_step(state: TrainState, sched, batch, rng):
+            def loss_fn(p):
+                return diffusion.p_losses(p, sched, batch, rng, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            if use_ema:
+                ema = jax.tree_util.tree_map(
+                    lambda e, q: ema_decay * e + (1 - ema_decay) * q,
+                    state.ema_params,
+                    params,
+                )
+                ema = jax.lax.cond(
+                    state.step >= step_start_ema,
+                    lambda _: ema,
+                    lambda _: params,
+                    None,
+                )
+            else:
+                ema = state.ema_params
+            return (
+                TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    ema_params=ema,
+                    step=state.step + 1,
+                ),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def optimize_parameters(self):
+        """One training step (reference model/model.py:48-58)."""
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        self.rng, step_rng = jax.random.split(self.rng)
+        batch = {k: self.data[k] for k in ("HR", "SR") if k in self.data}
+        if not self.conditional:
+            batch = {"HR": self.data["HR"]}
+        self.state, loss = self._train_step_fn(
+            self.state, self.sched, batch, step_rng
+        )
+        self.log_dict["l_pix"] = float(loss)
+
+    # ------------------------------------------------------------- inference
+
+    def _eval_params(self):
+        return self.state.ema_params if self.use_ema else self.state.params
+
+    def _sampler(self, kind, shape, continuous):
+        """jit-per-(T, shape, continuous) cache of the reverse chain."""
+        key = (kind, self.sched.num_timesteps, shape, continuous)
+        if key not in self._sample_cache:
+            diffusion = self.diffusion
+            if kind == "sr":
+                fn = lambda p, sched, x, k: diffusion.super_resolution(
+                    p, sched, x, k, continuous
+                )
+                jfn = jax.jit(fn)
+            else:
+                bs = shape[0]
+                fn = lambda p, sched, k: diffusion.sample(
+                    p, sched, k, batch_size=bs, continuous=continuous
+                )
+                jfn = jax.jit(fn)
+            self._sample_cache[key] = jfn
+        return self._sample_cache[key]
+
+    def test(self, continous=False):
+        """Conditional SR over the fed batch (reference model/model.py:60-70).
+        (Keeps the reference's 'continous' spelling in driver-facing args.)"""
+        x = self.data["SR"]
+        fn = self._sampler("sr", tuple(x.shape), bool(continous))
+        self.rng, k = jax.random.split(self.rng)
+        self.output = jax.device_get(
+            fn(self._eval_params(), self.sched, x, k)
+        )
+
+    def sample(self, batch_size=1, continous=False):
+        """Unconditional generation (reference model/model.py:71-78)."""
+        shape = (
+            batch_size,
+            self.diffusion.image_size,
+            self.diffusion.image_size,
+            self.diffusion.channels,
+        )
+        fn = self._sampler("uncond", shape, bool(continous))
+        self.rng, k = jax.random.split(self.rng)
+        self.output = jax.device_get(fn(self._eval_params(), self.sched, k))
+
+    # ------------------------------------------------------- logs & visuals
+
+    def get_current_log(self):
+        return dict(self.log_dict)
+
+    def get_current_visuals(self, need_LR=True, sample=False):
+        """Numpy NHWC float dict (reference model/model.py:98-110)."""
+        out = {}
+        if sample:
+            out["SAM"] = self.output
+        else:
+            out["SR"] = self.output
+            out["INF"] = jax.device_get(self.data["SR"])
+            out["HR"] = jax.device_get(self.data["HR"])
+            if need_LR and "LR" in self.data:
+                out["LR"] = jax.device_get(self.data["LR"])
+        return out
+
+    def print_network(self):
+        n = count_params(self.state.params)
+        logger.info(
+            "Network G structure: UNet(cond_mode=%s), with parameters: %s",
+            self.diffusion.cond_mode,
+            "{:,d}".format(n),
+        )
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _ckpt(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer()
+
+    def save_network(self, epoch, iter_step):
+        """Two artifacts per save, mirroring reference naming
+        (model/model.py:124-144)."""
+        ckpt_dir = self.opt["path"]["checkpoint"]
+        gen_path = os.path.abspath(
+            os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_gen")
+        )
+        opt_path = os.path.abspath(
+            os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_opt")
+        )
+        ckptr = self._ckpt()
+        state = jax.device_get(self.state)
+        gen = {"params": state.params}
+        if self.use_ema:
+            gen["ema_params"] = state.ema_params
+        ckptr.save(gen_path, gen, force=True)
+        ckptr.save(
+            opt_path,
+            {
+                "epoch": epoch,
+                "iter": iter_step,
+                "opt_state": state.opt_state,
+            },
+            force=True,
+        )
+        logger.info("Saved model in [%s] ...", gen_path)
+
+    def load_network(self):
+        """Resume from `path.resume_state` prefix (reference
+        model/model.py:146-166): loads `{prefix}_gen`, and in train phase
+        also `{prefix}_opt` with step/epoch counters."""
+        load_path = (self.opt.get("path") or {}).get("resume_state")
+        if not load_path:
+            return
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        gen_path = os.path.abspath("{}_gen".format(load_path))
+        logger.info("Loading pretrained model for G [%s] ...", load_path)
+        gen = ckptr.restore(gen_path)
+        params = gen["params"]
+        ema = gen.get("ema_params") if self.use_ema else None
+        state = self.state
+        self.state = TrainState(
+            params=params,
+            opt_state=state.opt_state,
+            ema_params=ema if ema is not None else (
+                params if self.use_ema else None
+            ),
+            step=state.step,
+        )
+        if self.phase == "train":
+            opt_path = os.path.abspath("{}_opt".format(load_path))
+            if os.path.exists(opt_path):
+                restored = ckptr.restore(opt_path)
+                self.begin_step = int(restored["iter"])
+                self.begin_epoch = int(restored["epoch"])
+                self.state = TrainState(
+                    params=self.state.params,
+                    opt_state=restored["opt_state"],
+                    ema_params=self.state.ema_params,
+                    step=jnp.int32(self.begin_step),
+                )
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+
+
+def create_model(opt, mesh=None) -> Trainer:
+    """Factory (reference model/__init__.py:5-9)."""
+    m = Trainer(opt, mesh=mesh)
+    logger.info("Model [%s] is created.", m.__class__.__name__)
+    return m

@@ -1,0 +1,91 @@
+"""Weights & Biases logging (optional; reference core/wandb_logger.py).
+
+wandb is not a hard dependency: constructing WandbLogger raises a clear
+error if the package is missing, and all drivers gate on -enable_wandb.
+"""
+
+from __future__ import annotations
+
+
+class WandbLogger:
+    """Mirror of the reference logger (core/wandb_logger.py:3-117)."""
+
+    def __init__(self, opt):
+        try:
+            import wandb
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "wandb is not installed; run without -enable_wandb"
+            ) from e
+        self._wandb = wandb
+        if self._wandb.run is None:
+            self._wandb.init(
+                project=opt["wandb"]["project"],
+                config=dict(opt),
+                dir="./experiments",
+            )
+        self.config = self._wandb.config
+        if self.config.get("log_eval", None):
+            self.eval_table = self._wandb.Table(
+                columns=["fake_image", "sr_image", "hr_image", "psnr", "ssim"]
+            )
+        else:
+            self.eval_table = None
+        if self.config.get("log_infer", None):
+            self.infer_table = self._wandb.Table(
+                columns=["fake_image", "sr_image", "hr_image"]
+            )
+        else:
+            self.infer_table = None
+
+    def log_metrics(self, metrics, commit=True):
+        self._wandb.log(metrics, commit=commit)
+
+    def log_image(self, key_name, image_array):
+        self._wandb.log({key_name: self._wandb.Image(image_array)})
+
+    def log_images(self, key_name, list_images):
+        self._wandb.log(
+            {key_name: [self._wandb.Image(img) for img in list_images]}
+        )
+
+    def log_checkpoint(self, current_epoch, current_step):
+        model_artifact = self._wandb.Artifact(
+            self._wandb.run.id + "_model", type="model", metadata={
+                "epoch": current_epoch, "iter": current_step,
+            },
+        )
+        import os
+
+        ckpt_dir = self.config["path"]["checkpoint"]
+        prefix = f"I{current_step}_E{current_epoch}"
+        for name in os.listdir(ckpt_dir):
+            if name.startswith(prefix):
+                full = os.path.join(ckpt_dir, name)
+                if os.path.isdir(full):
+                    model_artifact.add_dir(full, name=name)
+                else:
+                    model_artifact.add_file(full)
+        self._wandb.log_artifact(model_artifact, aliases=["latest"])
+
+    def log_eval_data(self, fake_img, sr_img, hr_img, psnr=None, ssim=None):
+        if psnr is not None and ssim is not None:
+            self.eval_table.add_data(
+                self._wandb.Image(fake_img),
+                self._wandb.Image(sr_img),
+                self._wandb.Image(hr_img),
+                psnr,
+                ssim,
+            )
+        else:
+            self.infer_table.add_data(
+                self._wandb.Image(fake_img),
+                self._wandb.Image(sr_img),
+                self._wandb.Image(hr_img),
+            )
+
+    def log_eval_table(self, commit=False):
+        if self.eval_table:
+            self._wandb.log({"eval_data": self.eval_table}, commit=commit)
+        elif self.infer_table:
+            self._wandb.log({"infer_data": self.infer_table}, commit=commit)
