@@ -158,7 +158,7 @@ class GaussianDiffusion:
         )
         log_var = sched.posterior_log_variance_clipped[t]
         noise = jax.random.normal(key, img.shape, dtype=jnp.float32)
-        nonzero = (t > 0).astype(jnp.float32)
+        nonzero = jnp.asarray(t > 0, jnp.float32)
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
     def p_sample_loop(self, params, sched: Schedule, x_in, rng,

@@ -40,18 +40,23 @@ def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, swis
     hw, c = x.shape
     cg = c // num_groups
 
-    # Per-channel sums via sublane reduction, then fold channels into groups.
+    # Per-channel sums via sublane reduction, then fold channels into groups
+    # with a tiny (C,G) indicator matmul — Mosaic cannot shape-cast the lane
+    # dim into sublanes, so reshape-based folding is off the table.
     s1 = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
     s2 = jnp.sum(x * x, axis=0, keepdims=True)      # (1, C)
-    g1 = jnp.sum(s1.reshape(num_groups, cg), axis=1, keepdims=True)  # (G,1)
-    g2 = jnp.sum(s2.reshape(num_groups, cg), axis=1, keepdims=True)
+    chan = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    cmask = (chan // cg == grp).astype(jnp.float32)  # (C, G)
+    g1 = jnp.dot(s1, cmask, preferred_element_type=jnp.float32)  # (1, G)
+    g2 = jnp.dot(s2, cmask, preferred_element_type=jnp.float32)
     n = jnp.float32(hw * cg)
-    mean_g = g1 / n                                  # (G,1)
+    mean_g = g1 / n                                  # (1, G)
     var_g = g2 / n - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # Broadcast group stats back to channels: (G,1) -> (1,C)
-    mean_c = jnp.broadcast_to(mean_g, (num_groups, cg)).reshape(1, c)
-    rstd_c = jnp.broadcast_to(rstd_g, (num_groups, cg)).reshape(1, c)
+    # Broadcast group stats back to channels: (1,G) @ (G,C)
+    mean_c = jnp.dot(mean_g, cmask.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, cmask.T, preferred_element_type=jnp.float32)
 
     y = (x - mean_c) * rstd_c * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
         jnp.float32
@@ -86,9 +91,11 @@ def group_norm_swish_pallas(x, scale, bias, num_groups, eps=1e-5, swish=True,
     return out.reshape(b, h, w, c)
 
 
-# Leave ~4MB headroom under the ~16MB/core VMEM budget: in+out blocks live
-# simultaneously, plus f32 temporaries.
-_VMEM_BLOCK_LIMIT = 3 * 1024 * 1024
+# The ~16MB/core scoped VMEM budget must hold the in+out blocks plus the f32
+# temporaries of the bf16->f32 compute (~6x the block bytes); cap blocks so
+# total stays well under the limit. Bigger blocks fall back to XLA (which
+# fuses GN+swish into neighbors anyway).
+_VMEM_BLOCK_LIMIT = int(1.5 * 1024 * 1024)
 
 
 def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,

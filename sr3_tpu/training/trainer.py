@@ -105,7 +105,10 @@ class Trainer:
             self.tx = None
             opt_state = ()
 
-        ema_params = params if self.use_ema else None
+        # independent copy: donation must not see the same buffer twice
+        ema_params = (
+            jax.tree_util.tree_map(jnp.array, params) if self.use_ema else None
+        )
         self.state = TrainState(
             params=params,
             opt_state=opt_state,

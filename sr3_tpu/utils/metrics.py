@@ -77,6 +77,15 @@ def save_img(img, img_path, mode="RGB"):
         Image.fromarray(img).save(img_path)
 
 
+def load_img(path):
+    """PNG on disk -> RGB uint8 HWC."""
+    if _HAS_CV2:
+        return cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
 def calculate_psnr(img1, img2):
     """PSNR between uint8 [0,255] images (reference core/metrics.py:42-49)."""
     img1 = img1.astype(np.float64)

@@ -1,0 +1,78 @@
+"""Data layer: dataset loading, pairing, scaling, loader batching."""
+
+import numpy as np
+
+from sr3_tpu.data import LRHRDataset, create_dataloader
+
+
+def test_dataset_img_mode(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=True)
+    assert len(ds) == 6
+    item = ds[0]
+    assert set(item) == {"LR", "HR", "SR", "Index"}
+    assert item["HR"].shape == (128, 128, 3)
+    assert item["SR"].shape == (128, 128, 3)
+    assert item["LR"].shape == (16, 16, 3)
+    for k in ("LR", "HR", "SR"):
+        assert item[k].dtype == np.float32
+        assert item[k].min() >= -1.0 and item[k].max() <= 1.0
+    assert item["HR"].max() > 0  # actually scaled, not all -1
+
+
+def test_dataset_data_len_truncation(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, data_len=2)
+    assert len(ds) == 2
+
+
+def test_dataset_no_lr(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, need_LR=False)
+    assert set(ds[0]) == {"HR", "SR", "Index"}
+
+
+def test_train_flip_is_paired(fixture_root):
+    # over many draws, whenever SR is flipped HR must be flipped too
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="train", need_LR=False)
+    base = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=False)
+    ref = base[0]
+    flipped_seen = unflipped_seen = 0
+    for _ in range(20):
+        item = ds[0]
+        sr_flipped = np.allclose(item["SR"], ref["SR"][:, ::-1, :])
+        hr_flipped = np.allclose(item["HR"], ref["HR"][:, ::-1, :])
+        sr_same = np.allclose(item["SR"], ref["SR"])
+        assert sr_flipped == hr_flipped  # joint flip
+        assert sr_flipped or sr_same
+        flipped_seen += sr_flipped
+        unflipped_seen += sr_same
+    assert flipped_seen > 0 and unflipped_seen > 0
+
+
+def test_loader_batching(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="train", need_LR=False)
+    opt = {"batch_size": 4, "use_shuffle": True, "num_workers": 2}
+    loader = create_dataloader(ds, opt, "train")
+    batches = list(loader)
+    assert len(batches) == 1  # 6 items, batch 4, drop_last
+    b = batches[0]
+    assert b["HR"].shape == (4, 128, 128, 3)
+    assert b["SR"].shape == (4, 128, 128, 3)
+    assert b["Index"].shape == (4,)
+
+
+def test_val_loader_batch_one(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=True)
+    loader = create_dataloader(ds, {}, "val")
+    batches = list(loader)
+    assert len(batches) == 6
+    assert batches[0]["HR"].shape == (1, 128, 128, 3)
+
+
+def test_loader_shuffle_determinism(fixture_root):
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=False)
+    l1 = create_dataloader(ds, {"batch_size": 2, "use_shuffle": True,
+                                "num_workers": 0}, "train")
+    l2 = create_dataloader(ds, {"batch_size": 2, "use_shuffle": True,
+                                "num_workers": 0}, "train")
+    i1 = [b["Index"].tolist() for b in l1]
+    i2 = [b["Index"].tolist() for b in l2]
+    assert i1 == i2  # same seed -> same order

@@ -1,0 +1,69 @@
+"""Pallas kernels (interpret mode on CPU) vs XLA reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr3_tpu.ops.attention import attention_flash, attention_xla
+from sr3_tpu.ops.groupnorm import group_norm_swish_pallas, group_norm_swish_xla
+
+
+@pytest.mark.parametrize("seq,d", [(256, 64), (512, 128)])
+def test_flash_attention_matches_xla(rng, seq, d):
+    q = jnp.asarray(rng.standard_normal((2, seq, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, seq, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, seq, d), dtype=np.float32))
+    scale = 1.0 / np.sqrt(d)
+    ref = attention_xla(q, k, v, scale)
+    out = attention_flash(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_rejects_ragged_seq():
+    q = jnp.zeros((1, 300, 64))
+    with pytest.raises(ValueError):
+        attention_flash(q, q, q, 1.0, interpret=True)
+
+
+@pytest.mark.parametrize("groups,c", [(32, 128), (8, 256), (4, 128)])
+def test_group_norm_pallas_matches_xla(rng, groups, c):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, c), dtype=np.float32))
+    scale = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    ref = group_norm_swish_xla(x, scale, bias, groups)
+    out = group_norm_swish_pallas(x, scale, bias, groups, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_group_norm_no_swish(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 128), dtype=np.float32))
+    s = jnp.ones(128)
+    b = jnp.zeros(128)
+    out = group_norm_swish_pallas(x, s, b, 32, swish=False, interpret=True)
+    ref = group_norm_swish_xla(x, s, b, 32, swish=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # normalized: per-group mean ~0
+    assert abs(float(jnp.mean(out))) < 0.2
+
+
+def test_group_norm_torch_parity(rng):
+    torch = pytest.importorskip("torch")
+    c, groups = 64, 8
+    x = rng.standard_normal((2, 6, 5, c), dtype=np.float32)
+    scale = rng.standard_normal(c, dtype=np.float32)
+    bias = rng.standard_normal(c, dtype=np.float32)
+
+    gn = torch.nn.GroupNorm(groups, c)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ref = gn(xt)
+        ref = (ref * torch.sigmoid(ref)).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+
+    out = group_norm_swish_xla(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), groups
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
