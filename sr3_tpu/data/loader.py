@@ -26,11 +26,32 @@ def _collate(samples):
     return out
 
 
+def _collate_native(samples, min_max=(-1, 1)):
+    """Fused C++ normalize+flip+stack over raw uint8 samples (from
+    LRHRDataset.get_raw). Returns None if the native lib is unavailable."""
+    from sr3_tpu.data.native import collate_normalize
+
+    flips = [s["flip"] for s in samples]
+    out = {}
+    for k in samples[0]:
+        if k in ("flip",):
+            continue
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray) and vals[0].dtype == np.uint8:
+            batch = collate_normalize(vals, min_max[0], min_max[1], flips)
+            if batch is None:
+                return None
+            out[k] = batch
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
 class DataLoader:
     """Iterable over batches for one pass of the dataset per iteration."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
-                 drop_last=False, seed=0, prefetch=2):
+                 drop_last=False, seed=0, prefetch=2, use_native=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,6 +60,26 @@ class DataLoader:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # native fast path: dataset exposes raw uint8 decode + C++ collate
+        self.use_native = use_native and hasattr(dataset, "get_raw")
+        if self.use_native:
+            from sr3_tpu.data.native import get_lib
+
+            self.use_native = get_lib() is not None
+
+    def _fetch(self, i):
+        if self.use_native:
+            return self.dataset.get_raw(int(i))
+        return self.dataset[int(i)]
+
+    def _make_batch(self, samples):
+        if self.use_native:
+            batch = _collate_native(
+                samples, getattr(self.dataset, "min_max", (-1, 1))
+            )
+            if batch is not None:
+                return batch
+        return _collate(samples)
 
     def __len__(self):
         n = len(self.dataset)
@@ -58,7 +99,7 @@ class DataLoader:
         self._epoch += 1
         if self.num_workers == 0:
             for batch_idx in self._batches():
-                yield _collate([self.dataset[int(i)] for i in batch_idx])
+                yield self._make_batch([self._fetch(i) for i in batch_idx])
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -69,10 +110,8 @@ class DataLoader:
                 for batch_idx in self._batches():
                     if stop.is_set():
                         return
-                    samples = list(
-                        pool.map(self.dataset.__getitem__, map(int, batch_idx))
-                    )
-                    q.put(_collate(samples))
+                    samples = list(pool.map(self._fetch, batch_idx))
+                    q.put(self._make_batch(samples))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -118,13 +118,30 @@ class LRHRDataset:
         img_lr = Image.open(BytesIO(lr)) if self.need_LR else None
         return img_hr, img_sr, img_lr
 
-    def __getitem__(self, index):
+    def _open(self, index):
         if self.datatype == "lmdb":
-            img_hr, img_sr, img_lr = self._read_lmdb(index)
-        else:
-            img_hr = Image.open(self.hr_path[index])
-            img_sr = Image.open(self.sr_path[index])
-            img_lr = Image.open(self.lr_path[index]) if self.need_LR else None
+            return self._read_lmdb(index)
+        img_hr = Image.open(self.hr_path[index])
+        img_sr = Image.open(self.sr_path[index])
+        img_lr = Image.open(self.lr_path[index]) if self.need_LR else None
+        return img_hr, img_sr, img_lr
+
+    def get_raw(self, index):
+        """Decode-only fast path: uint8 HWC images + the joint flip decision.
+        The loader's native collate fuses normalize+flip+stack in C++."""
+        img_hr, img_sr, img_lr = self._open(index)
+        out = {
+            "HR": np.asarray(img_hr.convert("RGB"), dtype=np.uint8),
+            "SR": np.asarray(img_sr.convert("RGB"), dtype=np.uint8),
+            "Index": index,
+            "flip": self.split == "train" and random.random() < 0.5,
+        }
+        if self.need_LR:
+            out["LR"] = np.asarray(img_lr.convert("RGB"), dtype=np.uint8)
+        return out
+
+    def __getitem__(self, index):
+        img_hr, img_sr, img_lr = self._open(index)
 
         imgs = [img_sr, img_hr] if img_lr is None else [img_lr, img_sr, img_hr]
         arrays = [_pil_to_array(im) for im in imgs]

@@ -208,7 +208,9 @@ class Trainer:
         self.state, loss = self._train_step_fn(
             self.state, self.sched, batch, step_rng
         )
-        self.log_dict["l_pix"] = float(loss)
+        # keep the device array: forcing float() here would sync every step;
+        # get_current_log materializes it only when a log line is printed
+        self.log_dict["l_pix"] = loss
 
     # ------------------------------------------------------------- inference
 
@@ -259,7 +261,7 @@ class Trainer:
     # ------------------------------------------------------- logs & visuals
 
     def get_current_log(self):
-        return dict(self.log_dict)
+        return {k: float(v) for k, v in self.log_dict.items()}
 
     def get_current_visuals(self, need_LR=True, sample=False):
         """Numpy NHWC float dict (reference model/model.py:98-110)."""

@@ -76,3 +76,19 @@ def test_loader_shuffle_determinism(fixture_root):
     i1 = [b["Index"].tolist() for b in l1]
     i2 = [b["Index"].tolist() for b in l2]
     assert i1 == i2  # same seed -> same order
+
+
+def test_native_collate_matches_numpy_path(fixture_root):
+    from sr3_tpu.data.loader import DataLoader
+
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=True)
+    ln = DataLoader(ds, batch_size=2, use_native=True)
+    lp = DataLoader(ds, batch_size=2, use_native=False)
+    if not ln.use_native:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for bn, bp in zip(ln, lp):
+        for k in ("LR", "SR", "HR"):
+            np.testing.assert_allclose(bn[k], bp[k], atol=1e-6)
+        np.testing.assert_array_equal(bn["Index"], bp["Index"])
