@@ -20,12 +20,11 @@ import os
 import sys
 import time
 
-if os.environ.get("SR3_PLATFORM"):
-    import jax
+import jax
 
-    jax.config.update("jax_platforms", os.environ["SR3_PLATFORM"])
-else:
-    import jax
+from sr3_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
 
 import jax.numpy as jnp
 

@@ -7,10 +7,9 @@ import argparse
 import logging
 import os
 
-if os.environ.get("SR3_PLATFORM"):
-    import jax
+from sr3_tpu.utils.runtime import setup_runtime
 
-    jax.config.update("jax_platforms", os.environ["SR3_PLATFORM"])
+setup_runtime()
 
 import numpy as np
 

@@ -91,7 +91,16 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
-        nb = len(self)
+        # multi-host: each process reads a disjoint deterministic shard
+        # (same shuffle seed everywhere -> consistent global epoch order)
+        import jax
+
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            idx = idx[pi::pc]
+        nb = len(idx) // self.batch_size
+        if not self.drop_last and len(idx) % self.batch_size:
+            nb += 1
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 

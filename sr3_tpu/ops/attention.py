@@ -93,6 +93,37 @@ def attention_flash(q, k, v, scale, block_q=256, block_k=256, interpret=False):
     return out
 
 
+def _flash_with_vjp(scale, interpret):
+    """custom_vjp: Pallas flash forward, XLA backward (recomputes the
+    attention matrix blockwise-free; fine up to moderate seq — a Pallas
+    backward kernel can replace it for 64k-token regimes)."""
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return attention_flash(q, k, v, scale, interpret=interpret)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dv = jnp.einsum("bqk,bqd->bkd", p, g)
+        dp = jnp.einsum("bqd,bkd->bqk", g, vf)
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dsum) * scale
+        dq = jnp.einsum("bqk,bkd->bqd", ds, kf)
+        dk = jnp.einsum("bqk,bqd->bkd", ds, qf)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def self_attention(q, k, v, scale, use_flash=None, interpret=False):
     """Dispatch between the XLA path and the Pallas flash kernel.
 
@@ -107,5 +138,5 @@ def self_attention(q, k, v, scale, use_flash=None, interpret=False):
             and jax.default_backend() == "tpu"
         )
     if use_flash and seq % min(256, seq) == 0:
-        return attention_flash(q, k, v, scale, interpret=interpret)
+        return _flash_with_vjp(scale, interpret)(q, k, v)
     return attention_xla(q, k, v, scale)

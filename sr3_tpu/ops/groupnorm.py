@@ -98,10 +98,59 @@ def group_norm_swish_pallas(x, scale, bias, num_groups, eps=1e-5, swish=True,
 _VMEM_BLOCK_LIMIT = int(1.5 * 1024 * 1024)
 
 
+def _gn_swish_fwd_bwd(num_groups, eps, swish, interpret):
+    """custom_vjp wrapper: Pallas forward (fused, one HBM pass), XLA backward
+    (reductions + elementwise — XLA fuses these into the surrounding conv
+    grads). Stats are recomputed in the backward; they're cheap relative to
+    the conv backward this feeds."""
+
+    @jax.custom_vjp
+    def f(x, scale, bias):
+        return group_norm_swish_pallas(
+            x, scale, bias, num_groups, eps=eps, swish=swish,
+            interpret=interpret,
+        )
+
+    def fwd(x, scale, bias):
+        return f(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        b, h, w, c = x.shape
+        cg = c // num_groups
+        xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
+        gf = g.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = ((xf - mean) * rstd).reshape(b, h, w, c)
+        sc = scale.astype(jnp.float32)
+        z = xhat * sc + bias.astype(jnp.float32)
+        if swish:
+            s = jax.nn.sigmoid(z)
+            dz = gf * (s * (1 + z * (1 - s)))
+        else:
+            dz = gf
+        dbias = jnp.sum(dz, axis=(0, 1, 2))
+        dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
+        dzg = (dz * sc).reshape(b, h * w, num_groups, cg)
+        m1 = jnp.mean(dzg, axis=(1, 3), keepdims=True)
+        m2 = jnp.mean(dzg * xhat.reshape(b, h * w, num_groups, cg),
+                      axis=(1, 3), keepdims=True)
+        dx = (
+            rstd * (dzg - m1 - xhat.reshape(b, h * w, num_groups, cg) * m2)
+        ).reshape(b, h, w, c)
+        return dx.astype(x.dtype), dscale, dbias
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
                      use_pallas=None, interpret=False):
-    """Fused GroupNorm(+Swish). Dispatches to Pallas when the per-sample block
-    fits comfortably in VMEM and we're on TPU; otherwise XLA."""
+    """Fused GroupNorm(+Swish). Dispatches to Pallas (with a custom VJP so
+    training works) when the per-sample block fits comfortably in VMEM and
+    we're on TPU; otherwise XLA."""
     b, h, w, c = x.shape
     block_bytes = h * w * c * x.dtype.itemsize
     if use_pallas is None:
@@ -112,7 +161,7 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
             and c >= 128
         )
     if use_pallas:
-        return group_norm_swish_pallas(
-            x, scale, bias, num_groups, eps=eps, swish=swish, interpret=interpret
+        return _gn_swish_fwd_bwd(num_groups, eps, swish, interpret)(
+            x, scale, bias
         )
     return group_norm_swish_xla(x, scale, bias, num_groups, eps=eps, swish=swish)

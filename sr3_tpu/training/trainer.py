@@ -36,6 +36,7 @@ from sr3_tpu.models.diffusion import GaussianDiffusion
 from sr3_tpu.models.networks import count_params, define_G, init_params
 from sr3_tpu.models.schedule import Schedule, make_schedule
 from sr3_tpu.parallel.mesh import create_mesh, shard_batch
+from sr3_tpu.utils.profiler import StepTimer
 
 logger = logging.getLogger("base")
 
@@ -126,6 +127,7 @@ class Trainer:
         self.log_dict = {}
         self.data = None
         self.output = None
+        self.timer = StepTimer()
 
         self._train_step_fn = None
         self._sample_cache = {}
@@ -211,6 +213,7 @@ class Trainer:
         # keep the device array: forcing float() here would sync every step;
         # get_current_log materializes it only when a log line is printed
         self.log_dict["l_pix"] = loss
+        self.timer.tick()
 
     # ------------------------------------------------------------- inference
 
@@ -261,7 +264,10 @@ class Trainer:
     # ------------------------------------------------------- logs & visuals
 
     def get_current_log(self):
-        return {k: float(v) for k, v in self.log_dict.items()}
+        logs = {k: float(v) for k, v in self.log_dict.items()}
+        batch = self.data["HR"].shape[0] if self.data is not None else None
+        logs.update(self.timer.stats(batch))
+        return logs
 
     def get_current_visuals(self, need_LR=True, sample=False):
         """Numpy NHWC float dict (reference model/model.py:98-110)."""

@@ -1,0 +1,34 @@
+"""Process-level runtime setup shared by all entry points.
+
+Call ``setup_runtime()`` BEFORE any JAX computation. It handles:
+
+- ``SR3_PLATFORM``: force a backend (e.g. ``cpu`` for hardware-free smoke
+  runs). jax.config wins over the environment's pinned JAX_PLATFORMS.
+- ``SR3_MULTIHOST``: run ``jax.distributed.initialize()`` for multi-host
+  (DCN) training; the mesh code then spans all hosts' devices.
+- PRNG implementation: on TPU the default threefry2x32 lowers to scalar code
+  that is ~3 orders of magnitude slower than the hardware RNG for the big
+  dropout masks of this model (measured 27 s vs 35 ms per train step on
+  v5e); default to the TPU-native ``rbg`` implementation there. Override
+  with ``SR3_PRNG=threefry2x32`` when bit-exact threefry streams matter.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_runtime():
+    import jax
+
+    if os.environ.get("SR3_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SR3_PLATFORM"])
+
+    if os.environ.get("SR3_MULTIHOST"):
+        jax.distributed.initialize()
+
+    prng = os.environ.get("SR3_PRNG")
+    if prng:
+        jax.config.update("jax_default_prng_impl", prng)
+    elif jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")

@@ -67,3 +67,69 @@ def test_group_norm_torch_parity(rng):
         jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), groups
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_group_norm_pallas_vjp_matches_xla(rng):
+    """The custom VJP on the Pallas path must match XLA autodiff exactly."""
+    from sr3_tpu.ops.groupnorm import group_norm_swish
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 128), dtype=np.float32))
+    s = jnp.asarray(rng.standard_normal(128, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(128, dtype=np.float32))
+
+    def loss_pallas(x, s, b):
+        return jnp.sum(
+            group_norm_swish(x, s, b, 32, use_pallas=True, interpret=True) ** 2
+        )
+
+    def loss_xla(x, s, b):
+        return jnp.sum(group_norm_swish(x, s, b, 32, use_pallas=False) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, s, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, s, b)
+    for a, r in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-4)
+
+
+def test_group_norm_pallas_vjp_no_swish(rng):
+    from sr3_tpu.ops.groupnorm import group_norm_swish
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 128), dtype=np.float32))
+    s = jnp.ones(128)
+    b = jnp.zeros(128)
+    gp = jax.grad(
+        lambda x: jnp.sum(
+            group_norm_swish(x, s, b, 32, swish=False, use_pallas=True,
+                             interpret=True) ** 2
+        )
+    )(x)
+    gx = jax.grad(
+        lambda x: jnp.sum(
+            group_norm_swish(x, s, b, 32, swish=False, use_pallas=False) ** 2
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-3)
+
+
+def test_flash_attention_vjp_matches_xla(rng):
+    from sr3_tpu.ops.attention import self_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 256, 64), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 256, 64), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 256, 64), dtype=np.float32))
+    scale = 1.0 / 8.0
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            self_attention(q, k, v, scale, use_flash=True, interpret=True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(self_attention(q, k, v, scale, use_flash=False) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)
