@@ -51,6 +51,7 @@ def define_G(opt) -> GaussianDiffusion:
         cond_mode=cond_mode,
         dtype=resolve_dtype(model_opt.get("dtype")),
         init_type=init_type,
+        remat=bool(unet_opt.get("remat", False)),
     )
     return GaussianDiffusion(
         unet,

@@ -195,7 +195,8 @@ class ResnetBlocWithAttn(nn.Module):
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, emb, *, train: bool = False):
+    def __call__(self, x, emb, train: bool = False):
+        # `train` is positional so nn.remat can mark it static (argnum 3)
         x = ResnetBlock(
             self.dim_out, cond_mode=self.cond_mode,
             use_affine_level=self.use_affine_level,
@@ -232,6 +233,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
     use_flash: Optional[bool] = None
+    remat: bool = False  # rematerialize ResnetBlocks: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x, cond, *, train: bool = False):
@@ -252,7 +254,15 @@ class UNet(nn.Module):
         else:
             emb = None
 
-        rba = lambda dim_out, with_attn, name: ResnetBlocWithAttn(
+        # nn.remat: recompute block activations in the backward pass instead
+        # of storing them (jax.checkpoint) — enables 512x512 training at
+        # batch sizes the reference could not fit (SURVEY §5 long-context
+        # note). `train` is a static python bool -> static_argnums.
+        block_cls = (
+            nn.remat(ResnetBlocWithAttn, static_argnums=(3,))
+            if self.remat else ResnetBlocWithAttn
+        )
+        rba = lambda dim_out, with_attn, name: block_cls(
             dim_out, cond_mode=self.cond_mode,
             use_affine_level=self.use_affine_level,
             norm_groups=self.norm_groups, dropout=self.dropout,
@@ -280,7 +290,7 @@ class UNet(nn.Module):
             channel_mult = ic * self.channel_mults[ind]
             for _ in range(self.res_blocks):
                 x = rba(channel_mult, use_attn, f"downs_{layer_idx}")(
-                    x, emb, train=train
+                    x, emb, train
                 )
                 layer_idx += 1
                 feats.append(x)
@@ -298,8 +308,8 @@ class UNet(nn.Module):
                 now_res //= 2
 
         # ----- mid (reference :210-215)
-        x = rba(pre_channel, True, "mid_0")(x, emb, train=train)
-        x = rba(pre_channel, False, "mid_1")(x, emb, train=train)
+        x = rba(pre_channel, True, "mid_0")(x, emb, train)
+        x = rba(pre_channel, False, "mid_1")(x, emb, train)
 
         # ----- up path with skip concat (reference :217-231,253-257)
         layer_idx = 0
@@ -310,7 +320,7 @@ class UNet(nn.Module):
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 x = rba(channel_mult, use_attn, f"ups_{layer_idx}")(
-                    jnp.concatenate([x, skip], axis=-1), emb, train=train
+                    jnp.concatenate([x, skip], axis=-1), emb, train
                 )
                 layer_idx += 1
                 pre_channel = channel_mult

@@ -166,7 +166,11 @@ class Trainer:
         ema_decay = self.ema_decay
         step_start_ema = self.step_start_ema
 
-        def train_step(state: TrainState, sched, batch, rng):
+        def train_step(state: TrainState, sched, batch, base_rng):
+            # derive the step key on-device from the step counter: no host
+            # RNG op (and its tunnel round-trip) per step
+            rng = jax.random.fold_in(base_rng, state.step)
+
             def loss_fn(p):
                 return diffusion.p_losses(p, sched, batch, rng, train=True)
 
@@ -203,12 +207,12 @@ class Trainer:
         """One training step (reference model/model.py:48-58)."""
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
-        self.rng, step_rng = jax.random.split(self.rng)
+            self.rng, self._train_base_rng = jax.random.split(self.rng)
         batch = {k: self.data[k] for k in ("HR", "SR") if k in self.data}
         if not self.conditional:
             batch = {"HR": self.data["HR"]}
         self.state, loss = self._train_step_fn(
-            self.state, self.sched, batch, step_rng
+            self.state, self.sched, batch, self._train_base_rng
         )
         # keep the device array: forcing float() here would sync every step;
         # get_current_log materializes it only when a log line is printed

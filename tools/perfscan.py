@@ -5,6 +5,7 @@ train-step time, and kernel dispatch variants. Run on the real TPU chip.
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -80,7 +81,7 @@ def main():
             "SR": jnp.zeros((b, 128, 128, 3), jnp.float32),
         }
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(p, o, batch, k):
             loss, g = jax.value_and_grad(
                 lambda q: diffusion.p_losses(q, sched, batch, k, train=True)
@@ -88,7 +89,17 @@ def main():
             up, o = tx.update(g, o, p)
             return optax.apply_updates(p, up), o, loss
 
-        dt = timed(step, params, opt_state, batch, jax.random.PRNGKey(0))
+        # donated steps consume their inputs: chain state through the loop
+        p, o = jax.tree_util.tree_map(jnp.array, (params, opt_state))
+        k = jax.random.PRNGKey(0)
+        p, o, loss = step(p, o, batch, k)  # compile + warmup
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            p, o, loss = step(p, o, batch, k)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / iters
         print(f"batch {b:3d}: {dt * 1e3:7.2f} ms/step  "
               f"{b / dt:7.2f} img/s")
 
