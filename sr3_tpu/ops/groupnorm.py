@@ -13,6 +13,7 @@ Layout: NHWC. Stats are computed in f32 regardless of input dtype
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,36 +35,57 @@ def group_norm_swish_xla(x, scale, bias, num_groups, eps=1e-5, swish=True):
     return xn.astype(x.dtype)
 
 
-def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, swish):
-    """One batch element per grid cell. x_ref: (1, HW, C)."""
-    x = x_ref[0].astype(jnp.float32)  # (HW, C)
-    hw, c = x.shape
-    cg = c // num_groups
+_HW_CHUNK = 1024
 
-    # Per-channel sums via sublane reduction, then fold channels into groups
-    # with a tiny (C,G) indicator matmul — Mosaic cannot shape-cast the lane
-    # dim into sublanes, so reshape-based folding is off the table.
-    s1 = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)      # (1, C)
+
+def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, swish):
+    """One batch element per grid cell. x_ref: (1, HW, C).
+
+    Two passes over HW chunks so the f32 temporaries never exceed one chunk:
+    the bf16 block stays resident in VMEM while stats accumulate chunkwise.
+    """
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    cg = c // num_groups
+    chunk = min(_HW_CHUNK, hw)
+    n_chunks = hw // chunk  # hw is a power of two >= chunk
+
+    # pass 1: per-channel sums, chunked (f32 accumulation)
+    def stats_body(i, carry):
+        s1, s2 = carry
+        xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        return s1 + jnp.sum(xc, axis=0, keepdims=True), \
+               s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
+
+    s1 = jnp.zeros((1, c), jnp.float32)
+    s2 = jnp.zeros((1, c), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, n_chunks, stats_body, (s1, s2))
+
+    # fold channels into groups with a (C,G) indicator matmul — Mosaic cannot
+    # shape-cast the lane dim into sublanes, so reshape-folding is off limits
     chan = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
     grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
     cmask = (chan // cg == grp).astype(jnp.float32)  # (C, G)
     g1 = jnp.dot(s1, cmask, preferred_element_type=jnp.float32)  # (1, G)
     g2 = jnp.dot(s2, cmask, preferred_element_type=jnp.float32)
     n = jnp.float32(hw * cg)
-    mean_g = g1 / n                                  # (1, G)
+    mean_g = g1 / n
     var_g = g2 / n - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # Broadcast group stats back to channels: (1,G) @ (G,C)
     mean_c = jnp.dot(mean_g, cmask.T, preferred_element_type=jnp.float32)
     rstd_c = jnp.dot(rstd_g, cmask.T, preferred_element_type=jnp.float32)
+    sc = scale_ref[0].astype(jnp.float32) * rstd_c
+    off = bias_ref[0].astype(jnp.float32) - mean_c * sc
 
-    y = (x - mean_c) * rstd_c * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
-        jnp.float32
-    )
-    if swish:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+    # pass 2: normalize + swish, chunked
+    def norm_body(i, _):
+        xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = xc * sc + off
+        if swish:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * chunk, chunk), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
 
 
 @functools.partial(
@@ -91,11 +113,10 @@ def group_norm_swish_pallas(x, scale, bias, num_groups, eps=1e-5, swish=True,
     return out.reshape(b, h, w, c)
 
 
-# The ~16MB/core scoped VMEM budget must hold the in+out blocks plus the f32
-# temporaries of the bf16->f32 compute (~6x the block bytes); cap blocks so
-# total stays well under the limit. Bigger blocks fall back to XLA (which
-# fuses GN+swish into neighbors anyway).
-_VMEM_BLOCK_LIMIT = int(1.5 * 1024 * 1024)
+# The ~16MB/core scoped VMEM budget must hold the in+out blocks plus the
+# chunk-sized f32 temporaries (the kernel iterates HW in _HW_CHUNK slices, so
+# temporaries no longer scale with the block). Bigger blocks fall back to XLA.
+_VMEM_BLOCK_LIMIT = 4 * 1024 * 1024
 
 
 def _gn_swish_fwd_bwd(num_groups, eps, swish, interpret):
@@ -148,17 +169,26 @@ def _gn_swish_fwd_bwd(num_groups, eps, swish, interpret):
 
 def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
                      use_pallas=None, interpret=False):
-    """Fused GroupNorm(+Swish). Dispatches to Pallas (with a custom VJP so
-    training works) when the per-sample block fits comfortably in VMEM and
-    we're on TPU; otherwise XLA."""
+    """GroupNorm(+Swish): XLA by default, Pallas kernel opt-in.
+
+    Measured on v5e with the full 16->128 UNet (batch 8): XLA 8.26 ms/fwd vs
+    9.99 ms with the Pallas kernel dispatched — pallas_call is a fusion
+    barrier, and XLA fuses the normalize+swish epilogue into the surrounding
+    conv/cast/residual chains, leaving the whole model at ~87% of HBM
+    speed-of-light. The kernel is kept behind ``use_pallas=True`` /
+    ``SR3_PALLAS_GN=1`` for shapes where XLA's fusion falls apart.
+    """
     b, h, w, c = x.shape
     block_bytes = h * w * c * x.dtype.itemsize
     if use_pallas is None:
+        hw = h * w
         use_pallas = (
-            jax.default_backend() == "tpu"
+            os.environ.get("SR3_PALLAS_GN") == "1"
+            and jax.default_backend() == "tpu"
             and block_bytes <= _VMEM_BLOCK_LIMIT
             and c % num_groups == 0
-            and c >= 128
+            and c >= 64
+            and (hw <= _HW_CHUNK or hw % _HW_CHUNK == 0)
         )
     if use_pallas:
         return _gn_swish_fwd_bwd(num_groups, eps, swish, interpret)(
