@@ -39,8 +39,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 2000))
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
+    config = os.environ.get("BENCH_CONFIG", "configs/sr_sr3_16_128.json")
 
-    opt = dict_to_nonedict(load_json_with_comments("configs/sr_sr3_16_128.json"))
+    opt = dict_to_nonedict(load_json_with_comments(config))
     opt["phase"] = "val"
     diffusion = define_G(opt)
     params = init_params(diffusion, jax.random.PRNGKey(0))
@@ -49,7 +50,8 @@ def main():
          "linear_start": 1e-6, "linear_end": 1e-2}
     )
 
-    x_sr = jnp.zeros((batch, 128, 128, 3), jnp.float32)
+    res = opt["model"]["diffusion"]["image_size"]
+    x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
 
     fn = jax.jit(
         lambda p, x, k: diffusion.super_resolution(p, sched, x, k, False)

@@ -51,6 +51,39 @@ def q_sample_t(sched: Schedule, x_start, t, noise):
     return c1 * x_start + c2 * noise
 
 
+def q_mean_variance(sched: Schedule, x_start, t):
+    """Moments of q(x_t | x_0) at integer t: (mean, variance, log_variance)
+    (reference ddpm_modules/diffusion.py:151-156)."""
+    shape = (-1,) + (1,) * (x_start.ndim - 1)
+    mean = sched.sqrt_alphas_cumprod[t].reshape(shape) * x_start
+    variance = (1.0 - sched.alphas_cumprod[t]).reshape(shape)
+    log_variance = sched.log_one_minus_alphas_cumprod[t].reshape(shape)
+    return mean, variance, log_variance
+
+
+def predict_start_from_noise(sched: Schedule, x_t, t, noise):
+    """x_0 estimate from x_t and predicted eps (reference
+    sr3_modules/diffusion.py:141-143). ``t`` may be scalar or (b,)."""
+    if jnp.ndim(t) == 0:
+        c1, c2 = sched.sqrt_recip_alphas_cumprod[t], \
+            sched.sqrt_recipm1_alphas_cumprod[t]
+    else:
+        shape = (-1,) + (1,) * (x_t.ndim - 1)
+        c1 = sched.sqrt_recip_alphas_cumprod[t].reshape(shape)
+        c2 = sched.sqrt_recipm1_alphas_cumprod[t].reshape(shape)
+    return c1 * x_t - c2 * noise
+
+
+def q_posterior(sched: Schedule, x_start, x_t, t):
+    """Posterior q(x_{t-1} | x_t, x_0): (mean, log_variance_clipped)
+    (reference sr3_modules/diffusion.py:145-149)."""
+    mean = (
+        sched.posterior_mean_coef1[t] * x_start
+        + sched.posterior_mean_coef2[t] * x_t
+    )
+    return mean, sched.posterior_log_variance_clipped[t]
+
+
 def _snapshot_count(num_timesteps: int) -> int:
     """Frames collected by the reference's `i % sample_inter == 0` rule with
     sample_inter = 1 | (T // 10) — bitwise OR, faithfully reproduced

@@ -52,6 +52,7 @@ def define_G(opt) -> GaussianDiffusion:
         dtype=resolve_dtype(model_opt.get("dtype")),
         init_type=init_type,
         remat=bool(unet_opt.get("remat", False)),
+        use_flash=unet_opt.get("use_flash"),  # None = auto by seq length
     )
     return GaussianDiffusion(
         unet,
