@@ -204,6 +204,7 @@ def main():
 
             if wandb_logger:
                 wandb_logger.log_metrics({"epoch": current_epoch - 1})
+        diffusion.wait_for_checkpoints()
         logger.info("End of training.")
     else:
         logger.info("Begin Model Evaluation.")

@@ -297,9 +297,14 @@ class Trainer:
     # ---------------------------------------------------------- checkpoints
 
     def _ckpt(self):
-        import orbax.checkpoint as ocp
+        """Async checkpointer: writes overlap training (the reference blocks
+        on torch.save each time). wait() is called before the next save and
+        at shutdown."""
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
-        return ocp.PyTreeCheckpointer()
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        return self._ckptr
 
     def save_network(self, epoch, iter_step):
         """Two artifacts per save, mirroring reference naming
@@ -312,11 +317,13 @@ class Trainer:
             os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_opt")
         )
         ckptr = self._ckpt()
+        ckptr.wait_until_finished()  # previous save, if still in flight
         state = jax.device_get(self.state)
         gen = {"params": state.params}
         if self.use_ema:
             gen["ema_params"] = state.ema_params
         ckptr.save(gen_path, gen, force=True)
+        ckptr.wait_until_finished()  # one in-flight save at a time
         ckptr.save(
             opt_path,
             {
@@ -327,6 +334,11 @@ class Trainer:
             force=True,
         )
         logger.info("Saved model in [%s] ...", gen_path)
+
+    def wait_for_checkpoints(self):
+        """Block until in-flight async checkpoint writes are durable."""
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
 
     def load_network(self):
         """Resume from `path.resume_state` prefix (reference

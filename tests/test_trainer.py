@@ -105,6 +105,7 @@ def test_checkpoint_save_resume(tmp_path):
         t.feed_data(_batch())
         t.optimize_parameters()
     t.save_network(epoch=1, iter_step=3)
+    t.wait_for_checkpoints()
 
     prefix = str(tmp_path / "ckpt" / "I3_E1")
     assert os.path.isdir(prefix + "_gen")
