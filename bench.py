@@ -78,8 +78,9 @@ def main():
         f"({dt / steps * 1e3:.2f} ms/step) backend={jax.default_backend()}",
         file=sys.stderr,
     )
+    stem = os.path.splitext(os.path.basename(config))[0]
     print(json.dumps({
-        "metric": "sr3_16_128_sampling_2000step_throughput",
+        "metric": f"{stem}_sampling_2000step_throughput",
         "value": round(imgs_per_sec_2000, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_2000 / BASELINE_1080TI_IMG_PER_SEC, 2),

@@ -225,21 +225,37 @@ class Trainer:
         return self.state.ema_params if self.use_ema else self.state.params
 
     def _sampler(self, kind, shape, continuous):
-        """jit-per-(T, shape, continuous) cache of the reverse chain."""
-        key = (kind, self.sched.num_timesteps, shape, continuous)
+        """jit-per-(T, shape, continuous) cache of the reverse chain.
+
+        Sampler selection from config (beyond the reference): set
+        model.diffusion.sampler="ddim" (+ ddim_steps / eta) to run the
+        strided deterministic DDIM chain instead of full ancestral DDPM."""
+        diff_opt = (self.opt.get("model") or {}).get("diffusion") or {}
+        sampler = diff_opt.get("sampler") or "ddpm"
+        ddim_steps = int(diff_opt.get("ddim_steps") or 50)
+        eta = float(diff_opt.get("eta") or 0.0)
+        key = (kind, sampler, ddim_steps, eta,
+               self.sched.num_timesteps, shape, continuous)
         if key not in self._sample_cache:
             diffusion = self.diffusion
-            if kind == "sr":
-                fn = lambda p, sched, x, k: diffusion.super_resolution(
-                    p, sched, x, k, continuous
+            if sampler == "ddim":
+                chain = lambda p, sched, x_or_shape, k: (
+                    diffusion.ddim_sample_loop(
+                        p, sched, x_or_shape, k,
+                        n_steps=ddim_steps, eta=eta, continuous=continuous,
+                    )
                 )
-                jfn = jax.jit(fn)
             else:
-                bs = shape[0]
-                fn = lambda p, sched, k: diffusion.sample(
-                    p, sched, k, batch_size=bs, continuous=continuous
+                chain = lambda p, sched, x_or_shape, k: (
+                    diffusion.p_sample_loop(
+                        p, sched, x_or_shape, k, continuous=continuous
+                    )
                 )
-                jfn = jax.jit(fn)
+            if kind == "sr":
+                jfn = jax.jit(chain)
+            else:
+                shp = tuple(shape)
+                jfn = jax.jit(lambda p, sched, k: chain(p, sched, shp, k))
             self._sample_cache[key] = jfn
         return self._sample_cache[key]
 

@@ -92,3 +92,31 @@ def test_native_collate_matches_numpy_path(fixture_root):
         for k in ("LR", "SR", "HR"):
             np.testing.assert_allclose(bn[k], bp[k], atol=1e-6)
         np.testing.assert_array_equal(bn["Index"], bp["Index"])
+
+
+def test_transforms_module():
+    import random
+
+    from sr3_tpu.data import transforms as T
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (8, 12, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (8, 12, 3)).astype(np.uint8)
+
+    # val split: identity
+    out = T.augment([a, b], split="val")
+    np.testing.assert_array_equal(out[0], a)
+
+    # train split: flips are joint across the list
+    random.seed(0)
+    for _ in range(10):
+        oa, ob = T.augment([a.copy(), b.copy()], split="train")
+        flipped_a = np.array_equal(oa[:, :, :], a[:, ::-1, :]) or \
+            np.array_equal(oa, a) or oa.shape != a.shape
+        assert oa.shape in ((8, 12, 3), (12, 8, 3))
+        assert oa.shape == ob.shape  # joint transform
+
+    x = T.transform2numpy(a)
+    assert x.dtype == np.float32 and x.max() <= 1.0
+    y = T.transform_augment([a, b], split="val", min_max=(-1, 1))
+    assert y[0].min() >= -1.0 and y[0].max() <= 1.0
