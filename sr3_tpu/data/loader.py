@@ -26,6 +26,30 @@ def _collate(samples):
     return out
 
 
+def _collate_native_bytes(samples, key_resolutions, min_max=(-1, 1)):
+    """Fused C++ libpng decode + normalize + stack over compressed samples
+    (from LRHRDataset.get_raw_bytes). None on failure."""
+    from sr3_tpu.data.native import decode_collate_normalize
+
+    flips = [s["flip"] for s in samples]
+    out = {}
+    for k in samples[0]:
+        if k == "flip":
+            continue
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], (bytes, bytearray)):
+            h, w = key_resolutions[k]
+            batch = decode_collate_normalize(
+                vals, h, w, min_max[0], min_max[1], flips
+            )
+            if batch is None:
+                return None
+            out[k] = batch
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
 def _collate_native(samples, min_max=(-1, 1)):
     """Fused C++ normalize+flip+stack over raw uint8 samples (from
     LRHRDataset.get_raw). Returns None if the native lib is unavailable."""
@@ -60,23 +84,47 @@ class DataLoader:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
-        # native fast path: dataset exposes raw uint8 decode + C++ collate
+        # native fast paths, best first:
+        #   bytes  -> C++ libpng decode + normalize + stack (no PIL at all)
+        #   uint8  -> PIL decode, C++ normalize + stack
+        #   python -> PIL decode, numpy normalize + stack
         self.use_native = use_native and hasattr(dataset, "get_raw")
-        if self.use_native:
-            from sr3_tpu.data.native import get_lib
+        self.use_native_decode = (
+            use_native and hasattr(dataset, "get_raw_bytes")
+        )
+        if self.use_native or self.use_native_decode:
+            from sr3_tpu.data.native import get_decode_lib, get_lib
 
-            self.use_native = get_lib() is not None
+            self.use_native = self.use_native and get_lib() is not None
+            self.use_native_decode = (
+                self.use_native_decode and get_decode_lib() is not None
+            )
 
     def _fetch(self, i):
+        if self.use_native_decode:
+            raw = self.dataset.get_raw_bytes(int(i))
+            if raw is not None:
+                return raw
+            # dataset can't serve bytes (non-png / missing key): demote
+            self.use_native_decode = False
         if self.use_native:
             return self.dataset.get_raw(int(i))
         return self.dataset[int(i)]
 
     def _make_batch(self, samples):
-        if self.use_native:
-            batch = _collate_native(
-                samples, getattr(self.dataset, "min_max", (-1, 1))
+        min_max = getattr(self.dataset, "min_max", (-1, 1))
+        if self.use_native_decode and "flip" in samples[0] and isinstance(
+            samples[0].get("HR"), (bytes, bytearray)
+        ):
+            batch = _collate_native_bytes(
+                samples, self.dataset.key_resolutions, min_max
             )
+            if batch is not None:
+                return batch
+            self.use_native_decode = False  # bad png somewhere: stop trying
+            samples = [self.dataset.get_raw(int(s["Index"])) for s in samples]
+        if self.use_native:
+            batch = _collate_native(samples, min_max)
             if batch is not None:
                 return batch
         return _collate(samples)

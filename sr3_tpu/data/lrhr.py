@@ -126,6 +126,48 @@ class LRHRDataset:
         img_lr = Image.open(self.lr_path[index]) if self.need_LR else None
         return img_hr, img_sr, img_lr
 
+    def get_raw_bytes(self, index):
+        """Decode-free fast path: compressed PNG bytes + the joint flip
+        decision; the loader's native pipeline decodes+normalizes in C++
+        (libpng) worker threads. img mode only returns bytes for .png files."""
+        out = {"Index": index,
+               "flip": self.split == "train" and random.random() < 0.5}
+        if self.datatype == "lmdb":
+            with self.env.begin(write=False) as txn:
+                hr = txn.get(f"hr_{self.r_res}_{str(index).zfill(5)}".encode())
+                sr = txn.get(
+                    f"sr_{self.l_res}_{self.r_res}_{str(index).zfill(5)}".encode()
+                )
+                if hr is None or sr is None:
+                    return None  # let the caller fall back to resampling path
+                out["HR"] = hr
+                out["SR"] = sr
+                if self.need_LR:
+                    lr = txn.get(
+                        f"lr_{self.l_res}_{str(index).zfill(5)}".encode()
+                    )
+                    if lr is None:
+                        return None
+                    out["LR"] = lr
+            return out
+        paths = {"HR": self.hr_path[index], "SR": self.sr_path[index]}
+        if self.need_LR:
+            paths["LR"] = self.lr_path[index]
+        for k, p in paths.items():
+            if not p.lower().endswith(".png"):
+                return None
+            with open(p, "rb") as f:
+                out[k] = f.read()
+        return out
+
+    @property
+    def key_resolutions(self):
+        """Expected (h, w) per batch key for the native decoder."""
+        res = {"HR": (self.r_res, self.r_res), "SR": (self.r_res, self.r_res)}
+        if self.need_LR:
+            res["LR"] = (self.l_res, self.l_res)
+        return res
+
     def get_raw(self, index):
         """Decode-only fast path: uint8 HWC images + the joint flip decision.
         The loader's native collate fuses normalize+flip+stack in C++."""

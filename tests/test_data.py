@@ -120,3 +120,41 @@ def test_transforms_module():
     assert x.dtype == np.float32 and x.max() <= 1.0
     y = T.transform_augment([a, b], split="val", min_max=(-1, 1))
     assert y[0].min() >= -1.0 and y[0].max() <= 1.0
+
+
+def test_native_decode_path_matches_pil(fixture_root):
+    from sr3_tpu.data.loader import DataLoader
+    from sr3_tpu.data.native import get_decode_lib
+
+    if get_decode_lib() is None:
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=True)
+    ld = DataLoader(ds, batch_size=3, use_native=True)
+    lp = DataLoader(ds, batch_size=3, use_native=False)
+    assert ld.use_native_decode
+    for bd, bp in zip(ld, lp):
+        for k in ("LR", "SR", "HR"):
+            np.testing.assert_allclose(bd[k], bp[k], atol=1e-6)
+
+
+def test_native_decode_fallback_on_non_png(tmp_path):
+    from PIL import Image
+
+    from sr3_tpu.data.loader import DataLoader
+
+    # build a jpg-based dataset: bytes path must demote gracefully
+    rng = np.random.default_rng(0)
+    for sub, size in (("lr_8", 8), ("hr_16", 16), ("sr_8_16", 16)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+            ).save(d / f"{i}.jpg", quality=95)
+    ds = LRHRDataset(str(tmp_path), "img", 8, 16, split="val", need_LR=False)
+    loader = DataLoader(ds, batch_size=2, use_native=True)
+    batches = list(loader)
+    assert batches[0]["HR"].shape == (2, 16, 16, 3)
+    assert not loader.use_native_decode  # demoted after first non-png
