@@ -65,7 +65,13 @@ class Trainer:
     def __init__(self, opt, mesh=None):
         self.opt = opt
         self.diffusion: GaussianDiffusion = define_G(opt)
-        self.mesh = mesh if mesh is not None else create_mesh()
+        if mesh is None:
+            # optional config block: "parallel": {"data": N, "model": M}
+            par = opt.get("parallel") or {}
+            mesh = create_mesh(
+                num_data=par.get("data"), num_model=par.get("model", 1) or 1
+            )
+        self.mesh = mesh
         self.conditional = self.diffusion.conditional
         self.phase = opt.get("phase", "train")
 
@@ -116,9 +122,11 @@ class Trainer:
             ema_params=ema_params,
             step=jnp.int32(0),
         )
-        # replicate state over the mesh
-        rep = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, rep)
+        # place state on the mesh: replicated on 'data'; tensor-parallel
+        # channel sharding on 'model' when that axis is >1
+        from sr3_tpu.parallel.sharding_rules import shard_state
+
+        self.state = shard_state(self.state, self.mesh)
 
         self.schedules: Dict[str, Schedule] = {}
         self.schedule_phase = None
@@ -392,8 +400,9 @@ class Trainer:
                     ema_params=self.state.ema_params,
                     step=jnp.int32(self.begin_step),
                 )
-        rep = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, rep)
+        from sr3_tpu.parallel.sharding_rules import shard_state
+
+        self.state = shard_state(self.state, self.mesh)
 
 
 def create_model(opt, mesh=None) -> Trainer:

@@ -167,3 +167,35 @@ def test_data_parallel_matches_single_device(tmp_path):
         # reduction order differs across shardings; adam amplifies the
         # float32 noise slightly over 3 steps
         np.testing.assert_allclose(x, y, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_matches_single_device(tmp_path):
+    """dp4 x tp2 (channel-sharded params via GSPMD) must match single-device
+    training — tensor parallelism beyond the reference's envelope."""
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+
+    t1 = Trainer(_opt(tmp_path, batch_size=8), mesh=create_mesh(num_data=1))
+    ttp = Trainer(
+        _opt(tmp_path, batch_size=8),
+        mesh=create_mesh(num_data=4, num_model=2),
+    )
+    t1.set_new_noise_schedule(t1.opt["model"]["beta_schedule"]["train"], "train")
+    ttp.set_new_noise_schedule(ttp.opt["model"]["beta_schedule"]["train"], "train")
+
+    for _ in range(2):
+        batch = _batch(8)
+        t1.feed_data(batch)
+        ttp.feed_data(batch)
+        t1.optimize_parameters()
+        ttp.optimize_parameters()
+        np.testing.assert_allclose(
+            t1.get_current_log()["l_pix"],
+            ttp.get_current_log()["l_pix"],
+            rtol=1e-4,
+        )
+
+    a = jax.tree_util.tree_leaves(jax.device_get(t1.state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(ttp.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-3)
