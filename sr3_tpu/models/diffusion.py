@@ -26,7 +26,6 @@ All functions are pure: (params, schedule, data, rng) -> result.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -22,7 +22,6 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

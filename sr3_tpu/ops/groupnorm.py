@@ -18,7 +18,6 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def group_norm_swish_xla(x, scale, bias, num_groups, eps=1e-5, swish=True):

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct, traverse_util
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sr3_tpu.models.diffusion import GaussianDiffusion
 from sr3_tpu.models.networks import count_params, define_G, init_params
