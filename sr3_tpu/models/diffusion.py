@@ -285,25 +285,24 @@ class GaussianDiffusion:
             shape = tuple(x_in)
         b = shape[0]
 
-        # static per-step coefficient tables (descending step order)
-        acp = np_.asarray(sched.alphas_cumprod, np_.float64)
-        abar = acp[tau][::-1].copy()                       # (S,) desc
-        abar_prev = np_.concatenate([[1.0], acp[tau][:-1]])[::-1].copy()
+        # per-step coefficient tables: tau is static, the schedule may be a
+        # traced pytree (called under jit) -> gather with jnp
+        tau_idx = jnp.asarray(tau, jnp.int32)
+        abar_asc = sched.alphas_cumprod[tau_idx].astype(jnp.float32)
+        abar_prev_asc = jnp.concatenate(
+            [jnp.ones((1,), jnp.float32), abar_asc[:-1]]
+        )
+        abar = abar_asc[::-1]
+        abar_prev = abar_prev_asc[::-1]
         sigma = (
             eta
-            * np_.sqrt((1 - abar_prev) / (1 - abar))
-            * np_.sqrt(1 - abar / abar_prev)
+            * jnp.sqrt((1 - abar_prev) / (1 - abar))
+            * jnp.sqrt(1 - abar / abar_prev)
         )
-        dir_coef = np_.sqrt(np_.maximum(1 - abar_prev - sigma ** 2, 0.0))
-        ts_desc = tau[::-1].copy()
+        dir_coef = jnp.sqrt(jnp.maximum(1 - abar_prev - sigma ** 2, 0.0))
+        ts_desc = jnp.asarray(tau[::-1].copy(), jnp.int32)
 
-        xs = (
-            jnp.asarray(ts_desc, jnp.int32),
-            jnp.asarray(abar, jnp.float32),
-            jnp.asarray(abar_prev, jnp.float32),
-            jnp.asarray(sigma, jnp.float32),
-            jnp.asarray(dir_coef, jnp.float32),
-        )
+        xs = (ts_desc, abar, abar_prev, sigma, dir_coef)
 
         key_init, key_chain = jax.random.split(rng)
         img0 = jax.random.normal(key_init, shape, dtype=jnp.float32)
@@ -328,6 +327,10 @@ class GaussianDiffusion:
             x0 = (img - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab)
             if clip_denoised:
                 x0 = jnp.clip(x0, -1.0, 1.0)
+                # re-derive eps from the clipped x0 so the update stays
+                # consistent (matches the ancestral chain's q_posterior
+                # parameterization at S=T, eta=1)
+                eps = (img - jnp.sqrt(ab) * x0) / jnp.sqrt(1.0 - ab)
             noise = jax.random.normal(key, img.shape, dtype=jnp.float32)
             return jnp.sqrt(ab_prev) * x0 + dirc * eps + sig * noise
 

@@ -160,15 +160,18 @@ def test_ddim_continuous_frames():
                                atol=1e-6)
 
 
-def test_ddim_full_sequence_eta1_close_to_ancestral_stats():
-    """With S=T and eta=1 DDIM's per-step variance equals the DDPM posterior;
-    outputs differ per-draw but share magnitude statistics."""
+def test_ddim_full_sequence_eta1_equals_ancestral():
+    """With S=T and eta=1 DDIM is EXACTLY the ancestral DDPM chain (same
+    posterior mean/variance, same key schedule) — including through the
+    x0-clip, since eps is re-derived from the clipped x0."""
     diff, params = _tiny()
     sched = make_schedule({"schedule": "linear", "n_timestep": 10,
                            "linear_start": 1e-4, "linear_end": 1e-1})
-    x = jnp.zeros((4, 16, 16, 3))
-    anc = diff.p_sample_loop(params, sched, x, jax.random.PRNGKey(0))
-    ddim = diff.ddim_sample_loop(params, sched, x, jax.random.PRNGKey(0),
-                                 n_steps=10, eta=1.0)
-    sa, sd = float(jnp.std(anc)), float(jnp.std(ddim))
-    assert 0.5 < sd / sa < 2.0
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3)) * 0.3
+    for clip in (False, True):
+        anc = diff.p_sample_loop(params, sched, x, jax.random.PRNGKey(0),
+                                 clip_denoised=clip)
+        ddim = diff.ddim_sample_loop(params, sched, x, jax.random.PRNGKey(0),
+                                     n_steps=10, eta=1.0, clip_denoised=clip)
+        np.testing.assert_allclose(np.asarray(anc), np.asarray(ddim),
+                                   atol=1e-4)
