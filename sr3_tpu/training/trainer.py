@@ -152,6 +152,9 @@ class Trainer:
             if key not in self.schedules:
                 self.schedules[key] = make_schedule(schedule_opt)
             self.sched = self.schedules[key]
+            # a phase switch means validation/sampling interleaved: don't let
+            # that wall time pollute the train step-time EMA
+            self.timer._last = None
 
     # ------------------------------------------------------------------ data
 
