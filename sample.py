@@ -83,7 +83,9 @@ def main():
     if opt["phase"] == "train":
         while current_step < n_iter:
             current_epoch += 1
-            for train_data in train_loader:
+            from sr3_tpu.data.prefetch import device_prefetch
+
+            for train_data in device_prefetch(train_loader, diffusion.mesh):
                 current_step += 1
                 if current_step > n_iter:
                     break

@@ -158,3 +158,21 @@ def test_native_decode_fallback_on_non_png(tmp_path):
     batches = list(loader)
     assert batches[0]["HR"].shape == (2, 16, 16, 3)
     assert not loader.use_native_decode  # demoted after first non-png
+
+
+def test_device_prefetch(fixture_root):
+    from sr3_tpu.data.loader import DataLoader
+    from sr3_tpu.data.prefetch import device_prefetch
+    from sr3_tpu.parallel.mesh import create_mesh
+
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=False)
+    loader = DataLoader(ds, batch_size=2)
+    mesh = create_mesh(num_data=1)
+    batches = list(device_prefetch(loader, mesh))
+    assert len(batches) == 3
+    import jax
+
+    assert isinstance(batches[0]["HR"], jax.Array)
+    assert batches[0]["HR"].shape == (2, 128, 128, 3)
+    # plain loader values preserved
+    assert batches[0]["Index"].shape == (2,)
