@@ -94,16 +94,28 @@ def main():
     )
 
     if opt["phase"] == "train":
+        # K fused steps per dispatch (train.steps_per_dispatch, default 1);
+        # choose K dividing print/val/ckpt freqs to keep cadences exact
+        spd = int(opt["train"]["steps_per_dispatch"] or 1)
+        chunk = []
         while current_step < n_iter:
             current_epoch += 1
             from sr3_tpu.data.prefetch import device_prefetch
 
             for train_data in device_prefetch(train_loader, diffusion.mesh):
-                current_step += 1
+                chunk.append(train_data)
+                if len(chunk) < spd:
+                    continue
+                current_step += spd
                 if current_step > n_iter:
                     break
-                diffusion.feed_data(train_data)
-                diffusion.optimize_parameters()
+                if spd == 1:
+                    diffusion.feed_data(chunk[0])
+                    diffusion.optimize_parameters()
+                else:
+                    diffusion.optimize_parameters_multi(chunk)
+                    diffusion.feed_data(chunk[-1])
+                chunk = []
                 # log
                 if current_step % opt["train"]["print_freq"] == 0:
                     logs = diffusion.get_current_log()

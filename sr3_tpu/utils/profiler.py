@@ -26,10 +26,12 @@ class StepTimer:
         self._last = None
         self.avg_s = None
 
-    def tick(self):
+    def tick(self, n_steps: int = 1):
+        """Record that n_steps optimizer steps completed since the last call
+        (n_steps>1 for fused multi-step dispatches)."""
         now = time.perf_counter()
         if self._last is not None:
-            dt = now - self._last
+            dt = (now - self._last) / max(1, n_steps)
             self.avg_s = (
                 dt if self.avg_s is None
                 else self.ema * self.avg_s + (1 - self.ema) * dt

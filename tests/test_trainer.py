@@ -199,3 +199,33 @@ def test_tensor_parallel_matches_single_device(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(ttp.state.params))
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=2e-3)
+
+
+def test_multi_step_dispatch_matches_sequential(tmp_path):
+    """K fused steps must equal K sequential steps exactly (same fold_in
+    keys via the state.step counter)."""
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    ta = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=1))
+    tb = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=1))
+    ta.set_new_noise_schedule(ta.opt["model"]["beta_schedule"]["train"], "train")
+    tb.set_new_noise_schedule(tb.opt["model"]["beta_schedule"]["train"], "train")
+
+    batches = [_batch(), _batch(), _batch()]
+    for b in batches:
+        ta.feed_data(b)
+        ta.optimize_parameters()
+    la = ta.get_current_log()["l_pix"]
+
+    tb.feed_data(batches[0])
+    tb.optimize_parameters()  # establish identical rng base split order
+    # rebuild tb to keep step counters aligned: use a fresh trainer instead
+    tb2 = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=1))
+    tb2.set_new_noise_schedule(tb2.opt["model"]["beta_schedule"]["train"], "train")
+    tb2.optimize_parameters_multi(batches)
+    lb = tb2.get_current_log()["l_pix"]
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+    pa = jax.tree_util.tree_leaves(jax.device_get(ta.state.params))
+    pb = jax.tree_util.tree_leaves(jax.device_get(tb2.state.params))
+    for x, y in zip(pa, pb):
+        # scan-inlined steps reassociate float ops slightly
+        np.testing.assert_allclose(x, y, atol=1e-4)
