@@ -79,3 +79,21 @@ def test_all_shipped_configs_parse():
             assert key in d, f"{f} missing {key}"
         assert d["model"]["which_model_G"] in ("sr3", "ddpm")
         json.dumps(d)  # round-trippable
+
+
+def test_wandb_logger_gated_without_package():
+    import importlib
+
+    try:
+        importlib.import_module("wandb")
+        import pytest
+
+        pytest.skip("wandb installed")
+    except ImportError:
+        pass
+    from sr3_tpu.utils.wandb_logger import WandbLogger
+
+    import pytest
+
+    with pytest.raises(ImportError, match="wandb"):
+        WandbLogger({"wandb": {"project": "x"}})
