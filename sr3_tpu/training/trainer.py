@@ -435,7 +435,16 @@ class Trainer:
         if self.phase == "train":
             opt_path = os.path.abspath("{}_opt".format(load_path))
             if os.path.exists(opt_path):
-                restored = ckptr.restore(opt_path)
+                # restore against a concrete target so pytree node types
+                # survive: a bare restore() returns plain lists/dicts and the
+                # first tx.update() after resume would crash on a
+                # ScaleByAdamState that came back as a dict
+                template = {
+                    "epoch": 0,
+                    "iter": 0,
+                    "opt_state": jax.device_get(self.state.opt_state),
+                }
+                restored = ckptr.restore(opt_path, item=template)
                 self.begin_step = int(restored["iter"])
                 self.begin_epoch = int(restored["epoch"])
                 self.state = TrainState(

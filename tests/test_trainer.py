@@ -121,6 +121,22 @@ def test_checkpoint_save_resume(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
 
+    # the restored optimizer state must be directly usable: train one step
+    # (regression: a bare orbax restore turned ScaleByAdamState into a dict
+    # and the first optimize_parameters() after resume crashed)
+    t2.set_new_noise_schedule(opt2["model"]["beta_schedule"]["train"], "train")
+    t2.feed_data(_batch())
+    t2.optimize_parameters()
+    assert np.isfinite(t2.get_current_log()["l_pix"])
+
+    # and the resumed trajectory must match continuing the original trainer
+    t.feed_data(_batch())
+    t.optimize_parameters()
+    pa = jax.tree_util.tree_leaves(jax.device_get(t.state.params))
+    pb = jax.tree_util.tree_leaves(jax.device_get(t2.state.params))
+    for x, y in zip(pa, pb):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+
 
 def test_ema_tracks_params(tmp_path):
     os.makedirs(tmp_path / "ckpt", exist_ok=True)
