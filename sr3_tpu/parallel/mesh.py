@@ -46,13 +46,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict of NHWC numpy arrays onto the mesh, sharded on
-    the leading (batch) axis. Non-array entries pass through."""
+    the leading (batch) axis. Non-array entries pass through.
+
+    Batches whose leading dim does not divide the 'data' axis (e.g. the
+    reference's batch-1 validation on an 8-way mesh) are replicated instead:
+    every device computes the full batch — correct, just not parallel. The
+    batched evaluator avoids this in the hot path by padding to a full mesh
+    group.
+
+    Multi-host: each process holds a disjoint contiguous shard of the global
+    batch (the loader shards indices per process), assembled into one global
+    array with ``jax.make_array_from_process_local_data``. The same call is
+    the single-process path too (where it reduces to a device_put), so the
+    multi-host assembly code is exercised by every test.
+    """
     sharding = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
+    pc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated_sharding(mesh))
-        return jax.device_put(x, sharding)
+        global_batch = x.shape[0] * pc
+        if global_batch % n_data != 0:
+            if pc > 1:
+                raise ValueError(
+                    f"global batch {global_batch} not divisible by data axis "
+                    f"{n_data} under multi-host; use a divisible batch"
+                )
+            return jax.device_put(x, replicated_sharding(mesh))
+        global_shape = (global_batch,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=global_shape
+        )
 
     return jax.tree_util.tree_map(put, batch)
