@@ -276,33 +276,37 @@ class Trainer:
     def _eval_params(self):
         return self.state.ema_params if self.use_ema else self.state.params
 
-    def _sampler(self, kind, shape, continuous):
-        """jit-per-(T, shape, continuous) cache of the reverse chain.
-
-        Sampler selection from config (beyond the reference): set
-        model.diffusion.sampler="ddim" (+ ddim_steps / eta) to run the
-        strided deterministic DDIM chain instead of full ancestral DDPM."""
+    def _chain_fn(self, continuous):
+        """(params, sched, x_or_shape, key) -> reverse-chain output, per the
+        configured sampler. Sampler selection from config (beyond the
+        reference): set model.diffusion.sampler="ddim" (+ ddim_steps / eta)
+        to run the strided deterministic DDIM chain instead of full
+        ancestral DDPM."""
         diff_opt = (self.opt.get("model") or {}).get("diffusion") or {}
         sampler = diff_opt.get("sampler") or "ddpm"
         ddim_steps = int(diff_opt.get("ddim_steps") or 50)
         eta = float(diff_opt.get("eta") or 0.0)
-        key = (kind, sampler, ddim_steps, eta,
-               self.sched.num_timesteps, shape, continuous)
+        diffusion = self.diffusion
+        if sampler == "ddim":
+            chain = lambda p, sched, x_or_shape, k: (
+                diffusion.ddim_sample_loop(
+                    p, sched, x_or_shape, k,
+                    n_steps=ddim_steps, eta=eta, continuous=continuous,
+                )
+            )
+        else:
+            chain = lambda p, sched, x_or_shape, k: (
+                diffusion.p_sample_loop(
+                    p, sched, x_or_shape, k, continuous=continuous
+                )
+            )
+        return chain, (sampler, ddim_steps, eta)
+
+    def _sampler(self, kind, shape, continuous):
+        """jit-per-(T, shape, continuous) cache of the reverse chain."""
+        chain, chain_key = self._chain_fn(continuous)
+        key = (kind, *chain_key, self.sched.num_timesteps, shape, continuous)
         if key not in self._sample_cache:
-            diffusion = self.diffusion
-            if sampler == "ddim":
-                chain = lambda p, sched, x_or_shape, k: (
-                    diffusion.ddim_sample_loop(
-                        p, sched, x_or_shape, k,
-                        n_steps=ddim_steps, eta=eta, continuous=continuous,
-                    )
-                )
-            else:
-                chain = lambda p, sched, x_or_shape, k: (
-                    diffusion.p_sample_loop(
-                        p, sched, x_or_shape, k, continuous=continuous
-                    )
-                )
             if kind == "sr":
                 jfn = jax.jit(chain)
             else:
@@ -310,6 +314,57 @@ class Trainer:
                 jfn = jax.jit(lambda p, sched, k: chain(p, sched, shp, k))
             self._sample_cache[key] = jfn
         return self._sample_cache[key]
+
+    def _vmapped_sampler(self, kind, shape, continuous):
+        """Per-image-keyed batched chain: vmap of the single-image sampler
+        over (image, key) lanes. Image j's entire noise stream comes from
+        keys[j] alone, so outputs are invariant to how images are grouped
+        into batches — batch-1 and batch-G validation produce identical
+        images (tested). ``shape`` is the single-image (1,h,w,c)."""
+        chain, chain_key = self._chain_fn(continuous)
+        key = ("v" + kind, *chain_key,
+               self.sched.num_timesteps, shape, continuous)
+        if key not in self._sample_cache:
+            if kind == "sr":
+                def one(p, sched, x, k):
+                    out = chain(p, sched, x[None], k)
+                    return out if continuous else out[0]
+
+                jfn = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)))
+            else:
+                shp = tuple(shape)
+
+                def one(p, sched, k):
+                    out = chain(p, sched, shp, k)
+                    return out if continuous else out[0]
+
+                jfn = jax.jit(jax.vmap(one, in_axes=(None, None, 0)))
+            self._sample_cache[key] = jfn
+        return self._sample_cache[key]
+
+    def test_batched(self, xs, keys, continous=False):
+        """Conditional SR over a group of images with per-image noise keys.
+
+        xs: (G,h,w,c) condition images; keys: (G,) PRNGKeys stacked as a
+        (G,2)/(G,4) uint32 array. Returns numpy (G,h,w,c), or (G,S,h,w,c)
+        process frames when ``continous``. The TPU-first replacement for the
+        reference's one-image-at-a-time val loop (reference sr.py:112-137):
+        one vmapped lax.scan drives all G chains, sharded over the mesh
+        'data' axis."""
+        fn = self._vmapped_sampler(
+            "sr", (1,) + tuple(xs.shape[1:]), bool(continous)
+        )
+        return jax.device_get(
+            fn(self._eval_params(), self.sched, xs, keys)
+        )
+
+    def sample_batched(self, keys, continous=False):
+        """Unconditional generation with per-image noise keys; see
+        test_batched."""
+        shape = (1, self.diffusion.image_size, self.diffusion.image_size,
+                 self.diffusion.channels)
+        fn = self._vmapped_sampler("uncond", shape, bool(continous))
+        return jax.device_get(fn(self._eval_params(), self.sched, keys))
 
     def test(self, continous=False):
         """Conditional SR over the fed batch (reference model/model.py:60-70).
