@@ -37,7 +37,8 @@ def main():
         ssim = Metrics.calculate_ssim(sr_img, hr_img)
         avg_psnr += psnr
         avg_ssim += ssim
-        print(f"Image:{idx}, PSNR:{psnr:.4f}, SSIM:{ssim:.4f}")
+        if idx % 20 == 0:
+            print(f"Image:{idx}, PSNR:{psnr:.4f}, SSIM:{ssim:.4f}")
 
     avg_psnr = avg_psnr / idx
     avg_ssim = avg_ssim / idx

@@ -1,11 +1,14 @@
-"""Inference-only driver over a prepared directory (reference infer.py).
+"""Inference-only driver over a prepared directory (CLI-compatible with
+reference infer.py).
 
   python infer.py -c configs/sr_sr3_16_128.json
+
+Builds the val dataset only and runs batched mesh-wide SR inference
+(sr3_tpu.training.evaluation.infer_sr) with process-grid outputs.
 """
 
 import argparse
 import logging
-import os
 
 from sr3_tpu.utils.runtime import setup_runtime
 
@@ -13,12 +16,12 @@ setup_runtime()
 
 import sr3_tpu.data as Data
 import sr3_tpu.utils.config as Logger
-import sr3_tpu.utils.metrics as Metrics
 from sr3_tpu.training import create_model
+from sr3_tpu.training.evaluation import infer_sr
 from sr3_tpu.utils.wandb_logger import WandbLogger
 
 
-def main():
+def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str,
                         default="configs/sr_sr3_16_128.json")
@@ -28,10 +31,12 @@ def main():
     parser.add_argument("-debug", "-d", action="store_true")
     parser.add_argument("-enable_wandb", action="store_true")
     parser.add_argument("-log_infer", action="store_true")
-    args = parser.parse_args()
+    return parser.parse_args()
 
-    opt = Logger.parse(args)
-    opt = Logger.dict_to_nonedict(opt)
+
+def main():
+    args = parse_args()
+    opt = Logger.dict_to_nonedict(Logger.parse(args))
 
     Logger.setup_logger(None, opt["path"]["log"], "train",
                         level=logging.INFO, screen=True)
@@ -39,12 +44,8 @@ def main():
     logger = logging.getLogger("base")
     logger.info(Logger.dict2str(opt))
 
-    if opt["enable_wandb"]:
-        wandb_logger = WandbLogger(opt)
-    else:
-        wandb_logger = None
+    wandb_logger = WandbLogger(opt) if opt["enable_wandb"] else None
 
-    # val dataset only (reference infer.py:46-51)
     val_loader = None
     for phase, dataset_opt in opt["datasets"].items():
         if phase == "val":
@@ -60,50 +61,7 @@ def main():
     )
 
     logger.info("Begin Model Inference.")
-    current_step = 0
-    current_epoch = 0
-    idx = 0
-
-    result_path = "{}".format(opt["path"]["results"])
-    os.makedirs(result_path, exist_ok=True)
-    for val_data in val_loader:
-        idx += 1
-        diffusion.feed_data(val_data)
-        diffusion.test(continous=True)
-        visuals = diffusion.get_current_visuals(need_LR=False)
-
-        hr_img = Metrics.tensor2img(visuals["HR"])
-        fake_img = Metrics.tensor2img(visuals["INF"])
-
-        sr_img_mode = "grid"
-        if sr_img_mode == "single":
-            sr_img = visuals["SR"]
-            sample_num = sr_img.shape[0]
-            for iter_ in range(sample_num):
-                Metrics.save_img(
-                    Metrics.tensor2img(sr_img[iter_ : iter_ + 1]),
-                    f"{result_path}/{current_step}_{idx}_sr_{iter_}.png",
-                )
-        else:
-            sr_img = Metrics.tensor2img(visuals["SR"])
-            Metrics.save_img(
-                sr_img, f"{result_path}/{current_step}_{idx}_sr_process.png"
-            )
-            Metrics.save_img(
-                Metrics.tensor2img(visuals["SR"][-1:]),
-                f"{result_path}/{current_step}_{idx}_sr.png",
-            )
-
-        Metrics.save_img(hr_img, f"{result_path}/{current_step}_{idx}_hr.png")
-        Metrics.save_img(fake_img, f"{result_path}/{current_step}_{idx}_inf.png")
-
-        if wandb_logger and opt["log_infer"]:
-            wandb_logger.log_eval_data(
-                fake_img, Metrics.tensor2img(visuals["SR"][-1:]), hr_img
-            )
-
-    if wandb_logger and opt["log_infer"]:
-        wandb_logger.log_eval_table(commit=True)
+    infer_sr(diffusion, val_loader, opt, wandb_logger=wandb_logger)
     logger.info("End of Model Inference.")
 
 

@@ -1,0 +1,86 @@
+"""Training-loop engine shared by the SR and unconditional drivers.
+
+One implementation of the epoch/iteration skeleton the reference duplicates
+across sr.py:81-173 and sample.py:72-148: cadenced print/TB/W&B logging,
+validation callback, checkpointing, and the fused multi-step dispatch
+(train.steps_per_dispatch, a TPU addition — K optimizer steps per host
+dispatch through one compiled lax.scan).
+
+The final chunk is dispatched even when n_iter is not a multiple of
+steps_per_dispatch (a smaller trailing dispatch), so exactly n_iter
+optimizer steps run.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from sr3_tpu.data.prefetch import device_prefetch
+
+logger = logging.getLogger("base")
+
+
+def log_train_step(diffusion, current_epoch, current_step,
+                   tb_logger=None, wandb_logger=None):
+    """Print/TB/W&B the current training log dict
+    (reference sr.py:90-100)."""
+    logs = diffusion.get_current_log()
+    message = "<epoch:{:3d}, iter:{:8,d}> ".format(current_epoch, current_step)
+    for k, v in logs.items():
+        message += "{:s}: {:.4e} ".format(k, v)
+        if tb_logger:
+            tb_logger.add_scalar(k, v, current_step)
+    logger.info(message)
+    if wandb_logger:
+        wandb_logger.log_metrics(logs)
+
+
+def train_loop(diffusion, train_loader, opt, on_validate,
+               tb_logger=None, wandb_logger=None):
+    """Run the training phase to n_iter optimizer steps.
+
+    ``on_validate(current_step, current_epoch)`` runs every
+    train.val_freq steps; schedule switching is the callee's concern
+    (the evaluation routines handle it).
+    """
+    current_step = diffusion.begin_step
+    current_epoch = diffusion.begin_epoch
+    n_iter = opt["train"]["n_iter"]
+    spd = int(opt["train"]["steps_per_dispatch"] or 1)
+    log_wandb_ckpt = bool(wandb_logger and opt["log_wandb_ckpt"])
+
+    chunk = []
+    while current_step < n_iter:
+        current_epoch += 1
+        for train_data in device_prefetch(train_loader, diffusion.mesh):
+            if current_step >= n_iter:
+                break
+            chunk.append(train_data)
+            # accumulate until the dispatch is full, or n_iter is reached
+            # (the trailing partial chunk still runs)
+            if len(chunk) < spd and current_step + len(chunk) < n_iter:
+                continue
+            if len(chunk) == 1:
+                diffusion.feed_data(chunk[0])
+                diffusion.optimize_parameters()
+            else:
+                diffusion.optimize_parameters_multi(chunk)
+                diffusion.feed_data(chunk[-1])
+            current_step += len(chunk)
+            chunk = []
+
+            if current_step % opt["train"]["print_freq"] == 0:
+                log_train_step(diffusion, current_epoch, current_step,
+                               tb_logger, wandb_logger)
+            if current_step % opt["train"]["val_freq"] == 0:
+                on_validate(current_step, current_epoch)
+            if current_step % opt["train"]["save_checkpoint_freq"] == 0:
+                logger.info("Saving models and training states.")
+                diffusion.save_network(current_epoch, current_step)
+                if log_wandb_ckpt:
+                    wandb_logger.log_checkpoint(current_epoch, current_step)
+        if wandb_logger:
+            wandb_logger.log_metrics({"epoch": current_epoch - 1})
+
+    diffusion.wait_for_checkpoints()
+    logger.info("End of training.")
