@@ -100,34 +100,53 @@ class DataLoader:
                 self.use_native_decode and get_decode_lib() is not None
             )
 
-    def _fetch(self, i):
+    def _mode(self):
         if self.use_native_decode:
-            raw = self.dataset.get_raw_bytes(int(i))
-            if raw is not None:
-                return raw
-            # dataset can't serve bytes (non-png / missing key): demote
-            self.use_native_decode = False
+            return "bytes"
         if self.use_native:
+            return "raw"
+        return "py"
+
+    def _fetch_with(self, i, mode):
+        """Fetch one sample in a FIXED mode (never mutates loader flags —
+        safe to run concurrently). Returns None when the dataset can't
+        serve this mode (non-png / missing key), signalling demotion."""
+        if mode == "bytes":
+            return self.dataset.get_raw_bytes(int(i))
+        if mode == "raw":
             return self.dataset.get_raw(int(i))
         return self.dataset[int(i)]
 
-    def _make_batch(self, samples):
+    def _load_batch(self, batch_idx, mapfn):
+        """Fetch + collate one batch. The fetch mode is decided once per
+        batch and demotion re-fetches the WHOLE batch, so a batch can never
+        mix compressed bytes with decoded arrays (which used to either hang
+        the consumer or hand a short buffer to the C++ decode kernel)."""
         min_max = getattr(self.dataset, "min_max", (-1, 1))
-        if self.use_native_decode and "flip" in samples[0] and isinstance(
-            samples[0].get("HR"), (bytes, bytearray)
-        ):
-            batch = _collate_native_bytes(
-                samples, self.dataset.key_resolutions, min_max
-            )
-            if batch is not None:
-                return batch
-            self.use_native_decode = False  # bad png somewhere: stop trying
-            samples = [self.dataset.get_raw(int(s["Index"])) for s in samples]
-        if self.use_native:
-            batch = _collate_native(samples, min_max)
-            if batch is not None:
-                return batch
-        return _collate(samples)
+        mode = self._mode()
+        while True:
+            samples = list(mapfn(lambda i: self._fetch_with(i, mode),
+                                 batch_idx))
+            if mode == "bytes":
+                batch = None
+                if all(s is not None for s in samples):
+                    batch = _collate_native_bytes(
+                        samples, self.dataset.key_resolutions, min_max
+                    )
+                if batch is not None:
+                    return batch
+                # demote for this and future batches (bad/absent png)
+                self.use_native_decode = False
+                mode = self._mode()
+                continue
+            if mode == "raw":
+                batch = _collate_native(samples, min_max)
+                if batch is not None:
+                    return batch
+                self.use_native = False
+                mode = self._mode()
+                continue
+            return _collate(samples)
 
     def __len__(self):
         n = len(self.dataset)
@@ -156,20 +175,25 @@ class DataLoader:
         self._epoch += 1
         if self.num_workers == 0:
             for batch_idx in self._batches():
-                yield self._make_batch([self._fetch(i) for i in batch_idx])
+                yield self._load_batch(batch_idx, map)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in self._batches():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self._fetch, batch_idx))
-                    q.put(self._make_batch(samples))
-            q.put(None)
+            # any exception is forwarded to the consumer instead of dying
+            # silently (which left the consumer blocked on q.get() forever)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            return
+                        q.put(self._load_batch(batch_idx, pool.map))
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                q.put(e)
+            else:
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -178,6 +202,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

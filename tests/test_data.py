@@ -176,3 +176,76 @@ def test_device_prefetch(fixture_root):
     assert batches[0]["HR"].shape == (2, 128, 128, 3)
     # plain loader values preserved
     assert batches[0]["Index"].shape == (2,)
+
+
+def test_producer_exception_propagates(fixture_root):
+    """A crash inside the producer thread must surface in the consumer
+    instead of hanging it forever on q.get() (ADVICE round-1)."""
+    from sr3_tpu.data.loader import DataLoader
+
+    class Corrupt(LRHRDataset):
+        def get_raw(self, i):
+            if int(i) == 1:
+                raise RuntimeError("corrupt sample")
+            return super().get_raw(i)
+
+        def __getitem__(self, i):
+            if int(i) == 1:
+                raise RuntimeError("corrupt sample")
+            return super().__getitem__(i)
+
+        def get_raw_bytes(self, i):
+            if int(i) == 1:
+                raise RuntimeError("corrupt sample")
+            return super().get_raw_bytes(i)
+
+    ds = Corrupt(fixture_root, "img", 16, 128, split="val", need_LR=False)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(loader)
+
+
+def test_demotion_is_batch_atomic(tmp_path):
+    """When only SOME samples of a batch can serve compressed bytes, the
+    whole batch must be re-fetched in the demoted mode — never collated
+    from mixed bytes/array samples (ADVICE round-1: short-buffer read)."""
+    import io
+
+    from PIL import Image
+
+    from sr3_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+            for _ in range(4)]
+
+    class Mixed:
+        min_max = (-1, 1)
+        key_resolutions = {"HR": (8, 8)}
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            x = imgs[int(i)].astype(np.float32) / 255.0 * 2 - 1
+            return {"HR": x, "Index": int(i)}
+
+        def get_raw(self, i):
+            return {"HR": imgs[int(i)], "flip": False, "Index": int(i)}
+
+        def get_raw_bytes(self, i):
+            if int(i) % 2 == 1:
+                return None  # odd items can't serve bytes
+            buf = io.BytesIO()
+            Image.fromarray(imgs[int(i)]).save(buf, format="PNG")
+            return {"HR": buf.getvalue(), "flip": False, "Index": int(i)}
+
+    ds = Mixed()
+    loader = DataLoader(ds, batch_size=2, use_native=True)
+    ref = DataLoader(ds, batch_size=2, use_native=False)
+    for got, want in zip(loader, ref):
+        assert got["HR"].dtype == np.float32
+        np.testing.assert_allclose(got["HR"], want["HR"], atol=1e-6)
+    assert not loader.use_native_decode  # demoted on the first mixed batch
