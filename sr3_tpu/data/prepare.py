@@ -32,33 +32,41 @@ RESAMPLE = {
 
 
 def resize_and_convert(img, size, resample):
+    """Aspect-preserving resize of the shorter edge to ``size``, then center
+    crop to size x size — torchvision resize/center_crop semantics, matching
+    the reference pixel-for-pixel (data/prepare_data.py:17-21) so datasets
+    prepared here are identical to reference-prepared ones. Like the
+    reference, a no-op when the width already matches."""
     if img.size[0] != size:
-        img = img.resize((size, size), resample=resample)
+        w, h = img.size
+        if w <= h:
+            nw, nh = size, int(size * h / w)
+        else:
+            nw, nh = int(size * w / h), size
+        img = img.resize((nw, nh), resample=resample)
+        w, h = img.size
+        left = int(round((w - size) / 2.0))
+        top = int(round((h - size) / 2.0))
+        img = img.crop((left, top, left + size, top + size))
     return img
 
 
-def center_crop_square(img):
-    w, h = img.size
-    s = min(w, h)
-    left = (w - s) // 2
-    top = (h - s) // 2
-    return img.crop((left, top, left + s, top + s))
-
-
 def resize_multiple(img, sizes=(16, 128), resample=Image.BICUBIC):
-    """(reference data/prepare_data.py:17-40): LR at sizes[0], HR at sizes[1],
-    SR = LR bicubic-upsampled to sizes[1]; source center-cropped square."""
-    img = center_crop_square(img.convert("RGB"))
+    """(reference data/prepare_data.py:30-39): LR at sizes[0], HR at
+    sizes[1], SR = LR upsampled to sizes[1] with the SAME user-selected
+    resample filter (not hardcoded bicubic)."""
     lr = resize_and_convert(img, sizes[0], resample)
     hr = resize_and_convert(img, sizes[1], resample)
-    sr = lr.resize((sizes[1], sizes[1]), resample=Image.BICUBIC)
+    sr = resize_and_convert(lr, sizes[1], resample)
     return lr, hr, sr
 
 
-def _process_one(args, sizes, resample):
-    idx, file = args
-    img = Image.open(file)
-    return idx, resize_multiple(img, sizes=sizes, resample=resample)
+def _process_one(file, sizes, resample):
+    """Key each triplet by the source filename stem (reference
+    data/prepare_data.py:41-47), not the enumeration order."""
+    img = Image.open(file).convert("RGB")
+    stem = os.path.splitext(os.path.basename(file))[0]
+    return stem, resize_multiple(img, sizes=sizes, resample=resample)
 
 
 def prepare(img_path, out_path, n_worker=1, sizes=(16, 128),
@@ -82,16 +90,15 @@ def prepare(img_path, out_path, n_worker=1, sizes=(16, 128),
         os.makedirs(f"{out_path}/sr_{l}_{r}", exist_ok=True)
 
     worker = functools.partial(_process_one, sizes=sizes, resample=resample)
-    items = list(enumerate(files))
     if n_worker > 1:
         with multiprocessing.Pool(n_worker) as pool:
-            results = pool.map(worker, items)
+            results = pool.map(worker, files)
     else:
-        results = [worker(it) for it in items]
+        results = [worker(f) for f in files]
 
     total = 0
-    for idx, (lr_img, hr_img, sr_img) in sorted(results):
-        key = str(idx).zfill(5)
+    for stem, (lr_img, hr_img, sr_img) in sorted(results):
+        key = stem.zfill(5)
         if env is None:
             lr_img.save(f"{out_path}/lr_{l}/{key}.png")
             hr_img.save(f"{out_path}/hr_{r}/{key}.png")
