@@ -1,18 +1,25 @@
-"""Throughput benchmark: SR3 16->128 reverse-diffusion sampling on TPU.
+"""Throughput benchmark: SR3 16->128 on TPU — sampling chain + train step.
 
 Headline metric (BASELINE.md north star): images/sec/chip for the full
 2000-step reverse chain at 128x128 with the shipped sr_sr3_16_128 model.
 The whole chain is one lax.scan, so per-step host overhead is zero.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Prints one JSON line per metric; the headline sampling line is LAST:
+  {"metric": "..._train_step_throughput", ..., "mfu": ...}
+  {"metric": "..._sampling_2000step_throughput", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N, "mfu": ...}
 
-Baseline: the reference publishes no throughput numbers; a 1080Ti-class GPU
-running the same torch model (batch 1, 2000 sequential UNet evals at 128^2,
-~10 it/s per the SR3-era community reports) delivers ~0.005 images/sec.
+Baselines: the reference publishes no throughput numbers. A 1080Ti-class
+GPU running the same torch model delivers ~0.005 images/sec for the
+batch-1 2000-step chain (~10 it/s per SR3-era community reports) and an
+estimated ~25 images/sec for batch-8 training steps.
+
+MFU = XLA cost-analysis FLOPs / wall time / 197e12 (TPU v5e bf16 peak).
 
 Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 2000),
-BENCH_REPEATS (default 1), SR3_PLATFORM (force backend).
+BENCH_REPEATS (default 1), BENCH_TRAIN_BATCH (default 8),
+BENCH_TRAIN_ITERS (default 10), BENCH_SKIP_TRAIN=1, BENCH_CONFIG,
+SR3_PLATFORM (force backend).
 """
 
 import json
@@ -28,7 +35,72 @@ setup_runtime()
 
 import jax.numpy as jnp
 
-BASELINE_1080TI_IMG_PER_SEC = 0.005
+BASELINE_1080TI_SAMPLING_IMG_PER_SEC = 0.005
+BASELINE_1080TI_TRAIN_IMG_PER_SEC = 25.0  # estimate, see module docstring
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _flops(compiled):
+    """Total FLOPs from XLA cost analysis (None if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def bench_train(diffusion, params, sched, res, batch, iters):
+    import optax
+
+    tx = optax.adam(1e-4)
+
+    def step(p, o, batch, k):
+        loss, g = jax.value_and_grad(
+            lambda q: diffusion.p_losses(q, sched, batch, k, train=True)
+        )(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    data = {
+        "HR": jnp.zeros((batch, res, res, 3), jnp.float32),
+        "SR": jnp.zeros((batch, res, res, 3), jnp.float32),
+    }
+    k = jax.random.PRNGKey(0)
+    p = jax.tree_util.tree_map(jnp.array, params)
+    o = tx.init(p)
+
+    lowered = jstep.lower(p, o, data, k)
+    compiled = lowered.compile()
+    flops = _flops(compiled)
+
+    p, o, loss = jstep(p, o, data, k)  # first exec (slow one-time on axon)
+    jax.block_until_ready(loss)
+    p, o, loss = jstep(p, o, data, k)  # warmup steady state
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(iters):
+        p, o, loss = jstep(p, o, data, k)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+
+    mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else None
+    print(
+        f"# train batch={batch} {dt * 1e3:.2f} ms/step "
+        f"{batch / dt:.1f} img/s flops/step={flops}",
+        file=sys.stderr,
+    )
+    return {
+        "value": round(batch / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(batch / dt / BASELINE_1080TI_TRAIN_IMG_PER_SEC, 2),
+        "mfu": round(mfu, 4) if mfu else None,
+        "batch": batch,
+        "step_ms": round(dt * 1e3, 2),
+    }
 
 
 def main():
@@ -39,6 +111,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 2000))
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 8))
+    train_iters = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
     config = os.environ.get("BENCH_CONFIG", "configs/sr_sr3_16_128.json")
 
     opt = dict_to_nonedict(load_json_with_comments(config))
@@ -49,20 +123,31 @@ def main():
         {"schedule": "linear", "n_timestep": steps,
          "linear_start": 1e-6, "linear_end": 1e-2}
     )
-
     res = opt["model"]["diffusion"]["image_size"]
-    x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
+    stem = os.path.splitext(os.path.basename(config))[0]
 
+    # ---- training throughput + MFU (printed first; headline stays last)
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        train_sched = make_schedule(opt["model"]["beta_schedule"]["train"])
+        tr = bench_train(diffusion, params, train_sched, res,
+                         train_batch, train_iters)
+        print(json.dumps({
+            "metric": f"{stem}_train_step_throughput", **tr,
+        }))
+
+    # ---- 2000-step sampling chain (headline)
+    x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
     fn = jax.jit(
         lambda p, x, k: diffusion.super_resolution(p, sched, x, k, False)
     )
+    lowered = fn.lower(params, x_sr, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    chain_flops = _flops(compiled)
 
     t0 = time.time()
     out = fn(params, x_sr, jax.random.PRNGKey(1))
     out.block_until_ready()
-    compile_and_first = time.time() - t0
-    print(f"# first run (incl. compile): {compile_and_first:.1f}s",
-          file=sys.stderr)
+    print(f"# first sampling run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for i in range(repeats):
@@ -73,17 +158,21 @@ def main():
     imgs_per_sec = batch / dt
     # normalize to the 2000-step budget if BENCH_STEPS overrode it
     imgs_per_sec_2000 = imgs_per_sec * steps / 2000.0
+    mfu = chain_flops / dt / V5E_BF16_PEAK_FLOPS if chain_flops else None
     print(
-        f"# batch={batch} steps={steps} time/batch={dt:.2f}s "
+        f"# sampling batch={batch} steps={steps} time/batch={dt:.2f}s "
         f"({dt / steps * 1e3:.2f} ms/step) backend={jax.default_backend()}",
         file=sys.stderr,
     )
-    stem = os.path.splitext(os.path.basename(config))[0]
     print(json.dumps({
         "metric": f"{stem}_sampling_2000step_throughput",
         "value": round(imgs_per_sec_2000, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_2000 / BASELINE_1080TI_IMG_PER_SEC, 2),
+        "vs_baseline": round(
+            imgs_per_sec_2000 / BASELINE_1080TI_SAMPLING_IMG_PER_SEC, 2
+        ),
+        "mfu": round(mfu, 4) if mfu else None,
+        "batch": batch,
     }))
 
 
