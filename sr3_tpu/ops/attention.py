@@ -141,6 +141,10 @@ def self_attention(q, k, v, scale, use_flash=None, interpret=False):
             and seq % 256 == 0
             and jax.default_backend() == "tpu"
         )
+    elif use_flash and not interpret and jax.default_backend() != "tpu":
+        # compiled Pallas is TPU-only: a config with use_flash=true must
+        # still run (CPU verification, tests) via the XLA path
+        use_flash = False
     if use_flash and seq % min(256, seq) == 0:
         return _flash_with_vjp(scale, interpret)(q, k, v)
     return attention_xla(q, k, v, scale)

@@ -28,7 +28,7 @@ def _load(name):
 
 @pytest.mark.parametrize("name", [
     "sr_sr3_16_128.json", "sr_ddpm_16_128.json", "sr_sr3_64_512.json",
-    "sample_sr3_128.json", "sample_ddpm_128.json",
+    "sr_sr3_64_512_attn.json", "sample_sr3_128.json", "sample_ddpm_128.json",
 ])
 def test_config_builds_and_runs(name):
     opt = _load(name)
@@ -60,3 +60,19 @@ def test_remat_flag_from_config():
     assert all(
         jnp.isfinite(x).all() for x in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_attn_512_config_enables_flash_attention():
+    """The attn config keeps attention ON at 512^2 feature maps through the
+    Pallas flash kernel — the capability the reference disabled
+    (config/sr_sr3_64_512.json attn_res=[], README.md:45)."""
+    opt = dict_to_nonedict(load_json_with_comments(
+        os.path.join(CFG_DIR, "sr_sr3_64_512_attn.json")))
+    assert opt["model"]["unet"]["attn_res"] == [32, 64]
+    assert opt["model"]["unet"]["use_flash"] is True
+    assert opt["model"]["unet"]["remat"] is True
+    opt["model"]["dtype"] = "float32"
+    opt["phase"] = "val"
+    diffusion = define_G(opt)
+    assert diffusion.denoise_fn.use_flash is True
+    assert diffusion.denoise_fn.attn_res == (32, 64)
