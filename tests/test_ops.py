@@ -133,3 +133,47 @@ def test_flash_attention_vjp_matches_xla(rng):
     for a, r in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_flash_attention_fwd_lse(rng):
+    from sr3_tpu.ops.attention import attention_flash_fwd
+
+    q = jnp.asarray(rng.standard_normal((2, 512, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 512, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 512, 32), dtype=np.float32))
+    scale = 0.17
+    out, lse = attention_flash_fwd(q, k, v, scale, block_q=256, block_k=256,
+                                   interpret=True)
+    ref = attention_xla(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    logits = np.einsum("bqd,bkd->bqk", q, k) * scale
+    ref_lse = np.log(np.exp(logits).sum(-1))[..., None]
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, atol=1e-4, rtol=1e-5)
+
+
+def test_flash_attention_vjp_multiblock(rng):
+    """Blockwise Pallas backward across multiple q/k blocks (seq 512,
+    block 256) must match the XLA gradients."""
+    from sr3_tpu.ops.attention import self_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 512, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 512, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 512, 32), dtype=np.float32))
+    scale = 1.0 / np.sqrt(32)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(
+            self_attention(q, k, v, scale, use_flash=True, interpret=True)
+            ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(
+            self_attention(q, k, v, scale, use_flash=False) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, r in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)
