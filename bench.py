@@ -72,18 +72,18 @@ def bench_train(diffusion, params, sched, res, batch, iters):
     p = jax.tree_util.tree_map(jnp.array, params)
     o = tx.init(p)
 
-    lowered = jstep.lower(p, o, data, k)
-    compiled = lowered.compile()
+    # AOT-compile once and call the compiled object (avoids a second trace)
+    compiled = jstep.lower(p, o, data, k).compile()
     flops = _flops(compiled)
 
-    p, o, loss = jstep(p, o, data, k)  # first exec (slow one-time on axon)
+    p, o, loss = compiled(p, o, data, k)  # first exec (slow one-time on axon)
     jax.block_until_ready(loss)
-    p, o, loss = jstep(p, o, data, k)  # warmup steady state
+    p, o, loss = compiled(p, o, data, k)  # warmup steady state
     jax.block_until_ready(loss)
 
     t0 = time.time()
     for _ in range(iters):
-        p, o, loss = jstep(p, o, data, k)
+        p, o, loss = compiled(p, o, data, k)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / iters
 
@@ -140,18 +140,27 @@ def main():
     fn = jax.jit(
         lambda p, x, k: diffusion.super_resolution(p, sched, x, k, False)
     )
-    lowered = fn.lower(params, x_sr, jax.random.PRNGKey(1))
-    compiled = lowered.compile()
-    chain_flops = _flops(compiled)
+    compiled = fn.lower(params, x_sr, jax.random.PRNGKey(1)).compile()
+    # cost analysis counts the lax.scan body ONCE — measure one reverse step
+    # explicitly and scale by the step count
+    one_step = jax.jit(
+        lambda p, img, k: diffusion.p_sample_step(
+            p, sched, img, jnp.int32(steps // 2), k, x_sr
+        )
+    )
+    step_flops = _flops(
+        one_step.lower(params, x_sr, jax.random.PRNGKey(0)).compile()
+    )
+    chain_flops = step_flops * steps if step_flops else None
 
     t0 = time.time()
-    out = fn(params, x_sr, jax.random.PRNGKey(1))
+    out = compiled(params, x_sr, jax.random.PRNGKey(1))
     out.block_until_ready()
     print(f"# first sampling run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for i in range(repeats):
-        out = fn(params, x_sr, jax.random.PRNGKey(2 + i))
+        out = compiled(params, x_sr, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
     dt = (time.time() - t0) / repeats
 
