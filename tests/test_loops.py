@@ -1,0 +1,90 @@
+"""Train-loop engine: exact step counts (including the trailing partial
+dispatch chunk), cadences, and checkpoint calls."""
+
+import numpy as np
+
+from sr3_tpu.parallel.mesh import create_mesh
+from sr3_tpu.training.loops import train_loop
+
+
+class FakeDiffusion:
+    def __init__(self):
+        self.begin_step = 0
+        self.begin_epoch = 0
+        self.mesh = create_mesh(num_data=1)
+        self.steps_run = 0
+        self.dispatches = []
+        self.saves = []
+
+    def feed_data(self, data):
+        self.data = data
+
+    def optimize_parameters(self):
+        self.steps_run += 1
+        self.dispatches.append(1)
+
+    def optimize_parameters_multi(self, batches):
+        self.steps_run += len(batches)
+        self.dispatches.append(len(batches))
+
+    def get_current_log(self):
+        return {"l_pix": 0.5}
+
+    def save_network(self, epoch, iter_step):
+        self.saves.append(iter_step)
+
+    def wait_for_checkpoints(self):
+        pass
+
+
+def _loader(n, b=2):
+    return [
+        {"HR": np.zeros((b, 4, 4, 3), np.float32), "Index": np.arange(b)}
+        for _ in range(n)
+    ]
+
+
+def _opt(n_iter, spd=1, val_freq=10**9, ckpt_freq=10**9, print_freq=10**9):
+    return {
+        "train": {
+            "n_iter": n_iter,
+            "steps_per_dispatch": spd,
+            "print_freq": print_freq,
+            "val_freq": val_freq,
+            "save_checkpoint_freq": ckpt_freq,
+        },
+        "log_wandb_ckpt": False,
+    }
+
+
+def test_exact_step_count_simple():
+    d = FakeDiffusion()
+    train_loop(d, _loader(4), _opt(7), lambda s, e: None)
+    assert d.steps_run == 7
+
+
+def test_trailing_partial_chunk_runs():
+    """n_iter=5 with steps_per_dispatch=2 must run 2+2+1 steps — the final
+    partial chunk used to be counted but dropped (ADVICE round-1)."""
+    d = FakeDiffusion()
+    train_loop(d, _loader(10), _opt(5, spd=2), lambda s, e: None)
+    assert d.steps_run == 5
+    assert d.dispatches == [2, 2, 1]
+
+
+def test_validation_and_checkpoint_cadence():
+    d = FakeDiffusion()
+    val_at = []
+    train_loop(d, _loader(4), _opt(6, val_freq=2, ckpt_freq=3),
+               lambda s, e: val_at.append(s))
+    assert val_at == [2, 4, 6]
+    assert d.saves == [3, 6]
+    assert d.steps_run == 6
+
+
+def test_resume_counters_respected():
+    d = FakeDiffusion()
+    d.begin_step = 4
+    d.begin_epoch = 2
+    train_loop(d, _loader(4), _opt(6), lambda s, e: None)
+    assert d.steps_run == 2  # only the remaining steps
