@@ -11,14 +11,21 @@ Feature-map resolutions are powers of two, so seq is always a power of two;
 the flash path requires seq to be a multiple of the K block (256) and falls
 back to XLA otherwise.
 
+Kernel structure (all four kernels): a 3-D grid whose innermost dimension
+walks the streamed axis block-by-block, with the online-softmax / gradient
+accumulators held in VMEM scratch that persists across the sequential grid
+steps. VMEM residency is O(block * d) regardless of seq — at 16384 tokens
+(the 128x128 feature map of the 64->512 model) whole-K/V-in-VMEM designs
+exceed the ~16MB VMEM budget, this one does not.
+
 Measured on TPU v5e (bf16): flash vs XLA = 1.08x at seq 1024, 1.62x at 4096,
 1.80x at 16384 (max|err| <= 2e-3) — i.e., attention at 64x64 and 128x128
 feature maps becomes practical, where the reference disabled it entirely.
 
 Training uses the same blockwise structure: the custom_vjp forward saves the
 per-row logsumexp and the backward runs two Pallas kernels (dK/dV gridded
-over k-blocks streaming q, dQ gridded over q-blocks streaming k), so neither
-direction ever materializes the (seq x seq) matrix.
+over k-blocks streaming q-blocks, dQ gridded over q-blocks streaming
+k-blocks), so neither direction ever materializes the (seq x seq) matrix.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def attention_xla(q, k, v, scale):
@@ -40,38 +48,77 @@ def attention_xla(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", probs, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
-    """Online-softmax attention for one (batch-head, q-block) grid cell.
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
+                      scale, with_lse):
+    """Online-softmax attention, one (bh, q-block, k-block) grid cell.
 
-    Refs carry a leading singleton batch-head axis from the BlockSpec:
-    q_ref: (1, block_q, d); k_ref/v_ref: (1, seq, d). f32 accumulation on MXU.
+    The k axis (program_id 2) is innermost and sequential on TPU; acc/m/l
+    scratch carries the running softmax state across k-blocks. Block refs:
+    q_ref (1, block_q, d); k_ref/v_ref (1, block_k, d).
     """
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        lse_ref, (acc_ref, m_ref, l_ref) = None, rest
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kb = seq_len // block_k
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    @pl.when(j == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if with_lse:
+            # (bh, seq, 1) layout: the trailing singleton keeps loads/stores
+            # 2-D (this Mosaic stack can't lane->sublane cast)
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+
+
+def _fwd_pallas_call(q, k, v, scale, block_q, block_k, with_lse, interpret):
+    bh, seq, d = q.shape
+    grid = (bh, seq // block_q, seq // block_k)
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    out_specs = [qspec]
+    out_shape = [jax.ShapeDtypeStruct((bh, seq, d), jnp.float32)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
         )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+        out_shape.append(jax.ShapeDtypeStruct((bh, seq, 1), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, with_lse=with_lse),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
 
 
 @functools.partial(
@@ -85,55 +132,10 @@ def attention_flash(q, k, v, scale, block_q=256, block_k=256, interpret=False):
     if seq % block_q or seq % block_k:
         raise ValueError(f"seq={seq} must be a multiple of blocks "
                          f"({block_q},{block_k}); use attention_xla")
-
-    grid = (bh, seq // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_len=seq),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
-        interpret=interpret,
-    )(q, k, v)
+    (out,) = _fwd_pallas_call(
+        q, k, v, scale, block_q, block_k, with_lse=False, interpret=interpret
+    )
     return out
-
-
-def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                          scale, block_k, seq_len):
-    """Forward kernel that also emits the per-row logsumexp (residual for
-    the flash backward). lse layout (bh, seq, 1): the trailing singleton
-    keeps loads/stores 2-D (this Mosaic stack can't lane->sublane cast)."""
-    q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kb = seq_len // block_k
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
 
 
 @functools.partial(
@@ -145,104 +147,83 @@ def attention_flash_fwd(q, k, v, scale, block_q=256, block_k=256,
     bh, seq, d = q.shape
     block_q = min(block_q, seq)
     block_k = min(block_k, seq)
-    grid = (bh, seq // block_q)
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_fwd_lse_kernel, scale=scale,
-                          block_k=block_k, seq_len=seq),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, seq, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q, k, v)
+    out, lse = _fwd_pallas_call(
+        q, k, v, scale, block_q, block_k, with_lse=True, interpret=interpret
+    )
     return out, lse
 
 
-def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, dsum_ref, k_ref, v_ref,
-                          dk_ref, dv_ref, *, scale, block_q, seq_len):
-    """dK/dV for one (batch-head, k-block): stream q-blocks, recompute the
-    probability tile from the saved logsumexp — never materializes the
-    (seq x seq) matrix."""
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    """dK/dV for one (bh, k-block, q-block) cell: q-blocks innermost,
+    probability tile recomputed from the saved logsumexp — never
+    materializes the (seq x seq) matrix."""
+    i = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
     k = k_ref[0].astype(jnp.float32)  # (block_k, d)
     v = v_ref[0].astype(jnp.float32)
-    block_k, d = k.shape
-    num_qb = seq_len // block_q
+    qi = q_ref[0].astype(jnp.float32)  # (block_q, d)
+    doi = do_ref[0].astype(jnp.float32)
+    li = lse_ref[0]
+    di = dsum_ref[0]
+    s = jax.lax.dot_general(
+        qi, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    p = jnp.exp(s - li)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        doi, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dsm = p * (dp - di) * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        dsm, qi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, carry):
-        dk, dv = carry
-        qi = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        doi = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        li = lse_ref[0, pl.ds(i * block_q, block_q), :]
-        di = dsum_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(
-            qi, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k)
-        p = jnp.exp(s - li)
-        dv = dv + jax.lax.dot_general(
-            p, doi, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            doi, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dsm = p * (dp - di) * scale
-        dk = dk + jax.lax.dot_general(
-            dsm, qi, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk, dv
-
-    dk0 = jnp.zeros((block_k, d), jnp.float32)
-    dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(i == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dsum_ref, k_ref, v_ref,
-                         dq_ref, *, scale, block_k, seq_len):
-    """dQ for one (batch-head, q-block): stream k-blocks."""
+                         dq_ref, dq_acc, *, scale):
+    """dQ for one (bh, q-block, k-block) cell: k-blocks innermost."""
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
     qi = q_ref[0].astype(jnp.float32)
     doi = do_ref[0].astype(jnp.float32)
     li = lse_ref[0]
     di = dsum_ref[0]
-    block_q, d = qi.shape
-    num_kb = seq_len // block_k
-
-    def body(j, dq):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            qi, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jnp.exp(s - li)
-        dp = jax.lax.dot_general(
-            doi, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dsm = p * (dp - di) * scale
-        return dq + jax.lax.dot_general(
-            dsm, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dq = jax.lax.fori_loop(
-        0, num_kb, body, jnp.zeros((block_q, d), jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        qi, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - li)
+    dp = jax.lax.dot_general(
+        doi, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dsm = p * (dp - di) * scale
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        dsm, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_k - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
 @functools.partial(
@@ -250,38 +231,45 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, lse_ref, dsum_ref, k_ref, v_ref,
 )
 def attention_flash_bwd(q, k, v, g, lse, dsum, scale,
                         block_q=256, block_k=256, interpret=False):
-    """Blockwise flash backward: (dq, dk, dv) in f32, O(seq) memory."""
+    """Blockwise flash backward: (dq, dk, dv) in f32, O(block) VMEM."""
     bh, seq, d = q.shape
     block_q = min(block_q, seq)
     block_k = min(block_k, seq)
 
-    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
-    full = lambda last: pl.BlockSpec((1, seq, last), lambda b, i: (b, 0, 0))
-    kspec = pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0))
-
+    qspec = lambda last: pl.BlockSpec(
+        (1, block_q, last), lambda b, i, j: (b, i, 0)
+    )
+    # dK/dV grid: (bh, k-block, q-block) — q innermost
+    kspec_o = pl.BlockSpec((1, block_k, d), lambda b, jk, i: (b, jk, 0))
+    qspec_i = lambda last: pl.BlockSpec(
+        (1, block_q, last), lambda b, jk, i: (b, i, 0)
+    )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
-                          block_q=block_q, seq_len=seq),
-        grid=(bh, seq // block_k),
-        in_specs=[full(d), full(d), full(1), full(1), kspec, kspec],
-        out_specs=[kspec, kspec],
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(bh, seq // block_k, seq // block_q),
+        in_specs=[kspec_o, kspec_o, qspec_i(d), qspec_i(d),
+                  qspec_i(1), qspec_i(1)],
+        out_specs=[kspec_o, kspec_o],
         out_shape=[
             jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
         interpret=interpret,
-    )(q, g, lse, dsum, k, v)
+    )(k, v, q, g, lse, dsum)
 
+    # dQ grid: (bh, q-block, k-block) — k innermost
+    kspec_i = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale,
-                          block_k=block_k, seq_len=seq),
-        grid=(bh, seq // block_q),
-        in_specs=[qspec, qspec, pl.BlockSpec((1, block_q, 1),
-                                             lambda b, i: (b, i, 0)),
-                  pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-                  full(d), full(d)],
-        out_specs=qspec,
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(bh, seq // block_q, seq // block_k),
+        in_specs=[qspec(d), qspec(d), qspec(1), qspec(1), kspec_i, kspec_i],
+        out_specs=qspec(d),
         out_shape=jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(q, g, lse, dsum, k, v)
     return dq, dk, dv

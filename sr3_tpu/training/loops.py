@@ -49,6 +49,14 @@ def train_loop(diffusion, train_loader, opt, on_validate,
     spd = int(opt["train"]["steps_per_dispatch"] or 1)
     log_wandb_ckpt = bool(wandb_logger and opt["log_wandb_ckpt"])
 
+    if len(train_loader) == 0:
+        raise ValueError(
+            "train loader yields zero batches: dataset has "
+            f"{len(train_loader.dataset)} samples but batch_size="
+            f"{train_loader.batch_size} with drop_last — lower the batch "
+            "size or add data (the loop would otherwise spin forever)"
+        )
+
     chunk = []
     while current_step < n_iter:
         current_epoch += 1
