@@ -16,8 +16,13 @@ estimated ~25 images/sec for batch-8 training steps.
 
 MFU = XLA cost-analysis FLOPs / wall time / 197e12 (TPU v5e bf16 peak).
 
+Bench batches are the measured throughput knees of the v5e batch sweep
+(tools/perfscan.py, docs/PERFSCAN_r02.txt): sampling saturates at batch 8
+(0.518 img/s; batch 16/32 plateau slightly lower), training at batch 16
+(260 img/s; +18% over batch 8, only +6% more at batch 32 for 2x memory).
+
 Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 2000),
-BENCH_REPEATS (default 1), BENCH_TRAIN_BATCH (default 8),
+BENCH_REPEATS (default 1), BENCH_TRAIN_BATCH (default 16),
 BENCH_TRAIN_ITERS (default 10), BENCH_SKIP_TRAIN=1, BENCH_CONFIG,
 SR3_PLATFORM (force backend).
 """
@@ -111,7 +116,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     steps = int(os.environ.get("BENCH_STEPS", 2000))
     repeats = int(os.environ.get("BENCH_REPEATS", 1))
-    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 8))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
     train_iters = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
     config = os.environ.get("BENCH_CONFIG", "configs/sr_sr3_16_128.json")
 
