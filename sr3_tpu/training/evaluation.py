@@ -104,14 +104,21 @@ class GroupedEvaluator:
             done += self.group
 
 
-def _group_size(opt):
+def _group_size(opt, n_items=None):
     """Optional framework extension: datasets.val.batch_size sets the
     validation group size (the reference pins val batch to 1,
-    data/__init__.py:13-15); default is the mesh data-axis size."""
+    data/__init__.py:13-15). Default: min(8, n_items) — the v5e batch
+    sweep (docs/PERFSCAN_r02.txt) shows sampling throughput saturates at
+    batch 8 (a batch-8 chain costs ~3.5x a batch-1 chain but serves 8
+    images), and capping at the item count avoids padding waste on tiny
+    val sets. GroupedEvaluator rounds up to a mesh-data-axis multiple."""
     try:
-        return (opt["datasets"]["val"] or {}).get("batch_size")
+        g = (opt["datasets"]["val"] or {}).get("batch_size")
     except (KeyError, TypeError):
-        return None
+        g = None
+    if g:
+        return g
+    return min(8, n_items) if n_items else 8
 
 
 # --------------------------------------------------------------- SR drivers
@@ -128,7 +135,9 @@ def validate_in_train(diffusion, val_loader, opt, current_step, current_epoch,
         opt["model"]["beta_schedule"]["val"], schedule_phase="val"
     )
 
-    ev = GroupedEvaluator(diffusion, _group_size(opt))
+    ev = GroupedEvaluator(
+        diffusion, _group_size(opt, len(val_loader.dataset))
+    )
     avg_psnr, idx = 0.0, 0
     for item, sr in ev.run_sr(per_image(val_loader), continous=False):
         idx += 1
@@ -175,7 +184,9 @@ def evaluate_sr(diffusion, val_loader, opt, current_step, current_epoch,
     os.makedirs(result_path, exist_ok=True)
     log_eval = bool(wandb_logger and opt["log_eval"])
 
-    ev = GroupedEvaluator(diffusion, _group_size(opt))
+    ev = GroupedEvaluator(
+        diffusion, _group_size(opt, len(val_loader.dataset))
+    )
     avg_psnr, avg_ssim, idx = 0.0, 0.0, 0
     for item, frames in ev.run_sr(per_image(val_loader), continous=True):
         idx += 1
@@ -228,7 +239,9 @@ def infer_sr(diffusion, val_loader, opt, wandb_logger=None):
     os.makedirs(result_path, exist_ok=True)
     log_infer = bool(wandb_logger and opt["log_infer"])
 
-    ev = GroupedEvaluator(diffusion, _group_size(opt))
+    ev = GroupedEvaluator(
+        diffusion, _group_size(opt, len(val_loader.dataset))
+    )
     idx = 0
     for item, frames in ev.run_sr(per_image(val_loader), continous=True):
         idx += 1
@@ -260,7 +273,7 @@ def sample_in_train(diffusion, sample_sum, opt, current_step, current_epoch,
     diffusion.set_new_noise_schedule(
         opt["model"]["beta_schedule"]["val"], schedule_phase="val"
     )
-    ev = GroupedEvaluator(diffusion, _group_size(opt))
+    ev = GroupedEvaluator(diffusion, _group_size(opt, sample_sum))
     for i, sample in enumerate(ev.run_uncond(sample_sum, continous=False)):
         img = Metrics.tensor2img(sample)
         Metrics.save_img(
@@ -279,7 +292,7 @@ def evaluate_uncond(diffusion, sample_sum, opt, current_step,
     + final sample per draw."""
     result_path = opt["path"]["results"]
     os.makedirs(result_path, exist_ok=True)
-    ev = GroupedEvaluator(diffusion, _group_size(opt))
+    ev = GroupedEvaluator(diffusion, _group_size(opt, sample_sum))
     for i, frames in enumerate(ev.run_uncond(sample_sum, continous=True)):
         final = Metrics.tensor2img(frames[-1])
         Metrics.save_img(
