@@ -240,6 +240,7 @@ def create_dataset(dataset_opt, phase):
         split=phase,
         data_len=dataset_opt["data_len"] if dataset_opt["data_len"] is not None else -1,
         need_LR=(mode == "LRHR"),
+        cache=dataset_opt.get("cache"),
     )
     logging.getLogger("base").info(
         "Dataset [%s - %s] is created.",

@@ -7,6 +7,12 @@ Capability-parity with the reference's LRHRDataset (data/LRHR_dataset.py:9-99):
   with length from the `length` key and random resampling of invalid indices;
 - `data_len` truncation, `need_LR` switch, output scaled to [-1, 1].
 
+Beyond the reference: a decoded-sample RAM cache (``cache`` opt; auto-on when
+the dataset fits 512MB) so small datasets aren't re-decoded every epoch —
+augmentation is applied after decode, so caching uint8 arrays is lossless.
+(With a cache plus a corrupt lmdb, the random-resample substitute for a
+missing key is cached on first access instead of re-drawn per epoch.)
+
 Output layout is NHWC float32 (TPU-native) instead of torch CHW tensors.
 LMDB is optional: gated on import so the PNG path works without the package.
 """
@@ -38,18 +44,17 @@ def get_paths_from_images(path):
     return sorted(images)
 
 
-def _pil_to_array(img: Image.Image) -> np.ndarray:
-    """PIL RGB -> float32 HWC in [0,1] (torchvision.ToTensor analog)."""
-    return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
-
-
 class LRHRDataset:
     """Map-style dataset; __getitem__ returns a dict of HWC float32 arrays in
     [-1, 1] plus 'Index'. The paired random horizontal flip is applied jointly
     to all images of a sample in train split (reference data/util.py:74-83)."""
 
+    # auto-cache decoded samples when the whole dataset fits in this budget
+    CACHE_AUTO_BYTES = 512 * 1024 * 1024
+
     def __init__(self, dataroot, datatype, l_resolution=16, r_resolution=128,
-                 split="train", data_len=-1, need_LR=False, min_max=(-1, 1)):
+                 split="train", data_len=-1, need_LR=False, min_max=(-1, 1),
+                 cache=None):
         self.datatype = datatype
         self.l_res = l_resolution
         self.r_res = r_resolution
@@ -57,6 +62,8 @@ class LRHRDataset:
         self.need_LR = need_LR
         self.split = split
         self.min_max = min_max
+        self._cache_opt = cache
+        self._cache = None
 
         if datatype == "lmdb":
             try:
@@ -93,8 +100,35 @@ class LRHRDataset:
         else:
             raise NotImplementedError(f"data_type [{datatype}] is not recognized.")
 
+        # decoded-sample RAM cache: decode each image once instead of every
+        # epoch (augmentation randomness is applied after decode, so caching
+        # uint8 arrays is lossless). cache=None → auto when the dataset fits
+        # the budget; True/False force it.
+        item_bytes = 3 * (2 * r_resolution ** 2 + (l_resolution ** 2
+                                                   if need_LR else 0))
+        auto = self.data_len * item_bytes <= self.CACHE_AUTO_BYTES
+        if self._cache_opt if self._cache_opt is not None else auto:
+            self._cache = {}
+
     def __len__(self):
         return self.data_len
+
+    def _decoded(self, index):
+        """uint8 HWC arrays {HR, SR, [LR]} for one sample, via the cache."""
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                return hit
+        img_hr, img_sr, img_lr = self._open(index)
+        out = {
+            "HR": np.asarray(img_hr.convert("RGB"), dtype=np.uint8),
+            "SR": np.asarray(img_sr.convert("RGB"), dtype=np.uint8),
+        }
+        if self.need_LR:
+            out["LR"] = np.asarray(img_lr.convert("RGB"), dtype=np.uint8)
+        if self._cache is not None:
+            self._cache[index] = out
+        return out
 
     def _read_lmdb(self, index):
         with self.env.begin(write=False) as txn:
@@ -130,6 +164,10 @@ class LRHRDataset:
         """Decode-free fast path: compressed PNG bytes + the joint flip
         decision; the loader's native pipeline decodes+normalizes in C++
         (libpng) worker threads. img mode only returns bytes for .png files."""
+        if self._cache is not None:
+            # decode-once beats re-decoding compressed bytes every epoch:
+            # steer the loader to the raw (cached) path
+            return None
         out = {"Index": index,
                "flip": self.split == "train" and random.random() < 0.5}
         if self.datatype == "lmdb":
@@ -171,22 +209,16 @@ class LRHRDataset:
     def get_raw(self, index):
         """Decode-only fast path: uint8 HWC images + the joint flip decision.
         The loader's native collate fuses normalize+flip+stack in C++."""
-        img_hr, img_sr, img_lr = self._open(index)
-        out = {
-            "HR": np.asarray(img_hr.convert("RGB"), dtype=np.uint8),
-            "SR": np.asarray(img_sr.convert("RGB"), dtype=np.uint8),
+        return {
+            **self._decoded(index),
             "Index": index,
             "flip": self.split == "train" and random.random() < 0.5,
         }
-        if self.need_LR:
-            out["LR"] = np.asarray(img_lr.convert("RGB"), dtype=np.uint8)
-        return out
 
     def __getitem__(self, index):
-        img_hr, img_sr, img_lr = self._open(index)
-
-        imgs = [img_sr, img_hr] if img_lr is None else [img_lr, img_sr, img_hr]
-        arrays = [_pil_to_array(im) for im in imgs]
+        dec = self._decoded(index)
+        keys = (["LR", "SR", "HR"] if self.need_LR else ["SR", "HR"])
+        arrays = [dec[k].astype(np.float32) / 255.0 for k in keys]
 
         if self.split == "train" and random.random() < 0.5:
             arrays = [a[:, ::-1, :].copy() for a in arrays]

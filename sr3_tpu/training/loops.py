@@ -57,38 +57,49 @@ def train_loop(diffusion, train_loader, opt, on_validate,
             "size or add data (the loop would otherwise spin forever)"
         )
 
-    chunk = []
-    while current_step < n_iter:
-        current_epoch += 1
-        for train_data in device_prefetch(train_loader, diffusion.mesh):
-            if current_step >= n_iter:
-                break
-            chunk.append(train_data)
-            # accumulate until the dispatch is full, or n_iter is reached
-            # (the trailing partial chunk still runs)
-            if len(chunk) < spd and current_step + len(chunk) < n_iter:
-                continue
-            if len(chunk) == 1:
-                diffusion.feed_data(chunk[0])
-                diffusion.optimize_parameters()
-            else:
-                diffusion.optimize_parameters_multi(chunk)
-                diffusion.feed_data(chunk[-1])
-            current_step += len(chunk)
-            chunk = []
+    def epochs():
+        """Infinite (epoch-tagged) batch stream. One continuous stream keeps
+        the device-prefetch pipeline warm across epoch boundaries — with
+        small datasets (epoch == a few batches) tearing the pipeline down
+        per epoch dominated the step time. Each batch is tagged with its
+        epoch BEFORE prefetch so the label stays exact under lookahead."""
+        epoch = current_epoch
+        while True:
+            epoch += 1
+            for b in train_loader:
+                yield {**b, "_epoch": epoch}
+            if wandb_logger:
+                wandb_logger.log_metrics({"epoch": epoch - 1})
 
-            if current_step % opt["train"]["print_freq"] == 0:
-                log_train_step(diffusion, current_epoch, current_step,
-                               tb_logger, wandb_logger)
-            if current_step % opt["train"]["val_freq"] == 0:
-                on_validate(current_step, current_epoch)
-            if current_step % opt["train"]["save_checkpoint_freq"] == 0:
-                logger.info("Saving models and training states.")
-                diffusion.save_network(current_epoch, current_step)
-                if log_wandb_ckpt:
-                    wandb_logger.log_checkpoint(current_epoch, current_step)
-        if wandb_logger:
-            wandb_logger.log_metrics({"epoch": current_epoch - 1})
+    chunk = []
+    for train_data in device_prefetch(epochs(), diffusion.mesh):
+        if current_step >= n_iter:
+            break
+        current_epoch = train_data.pop("_epoch")
+        chunk.append(train_data)
+        # accumulate until the dispatch is full, or n_iter is reached
+        # (the trailing partial chunk still runs)
+        if len(chunk) < spd and current_step + len(chunk) < n_iter:
+            continue
+        if len(chunk) == 1:
+            diffusion.feed_data(chunk[0])
+            diffusion.optimize_parameters()
+        else:
+            diffusion.optimize_parameters_multi(chunk)
+            diffusion.feed_data(chunk[-1])
+        current_step += len(chunk)
+        chunk = []
+
+        if current_step % opt["train"]["print_freq"] == 0:
+            log_train_step(diffusion, current_epoch, current_step,
+                           tb_logger, wandb_logger)
+        if current_step % opt["train"]["val_freq"] == 0:
+            on_validate(current_step, current_epoch)
+        if current_step % opt["train"]["save_checkpoint_freq"] == 0:
+            logger.info("Saving models and training states.")
+            diffusion.save_network(current_epoch, current_step)
+            if log_wandb_ckpt:
+                wandb_logger.log_checkpoint(current_epoch, current_step)
 
     diffusion.wait_for_checkpoints()
     logger.info("End of training.")

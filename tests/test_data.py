@@ -249,3 +249,29 @@ def test_demotion_is_batch_atomic(tmp_path):
         assert got["HR"].dtype == np.float32
         np.testing.assert_allclose(got["HR"], want["HR"], atol=1e-6)
     assert not loader.use_native_decode  # demoted on the first mixed batch
+
+
+def test_decoded_cache(fixture_root, monkeypatch):
+    """Small datasets auto-cache decoded uint8 samples: each image is
+    decoded once across epochs, outputs are unchanged, and the bytes fast
+    path is disabled (decode-once beats native re-decode per epoch)."""
+    ds = LRHRDataset(fixture_root, "img", 16, 128, split="val", need_LR=True)
+    assert ds._cache is not None  # 6 fixture triplets -> auto-on
+    assert ds.get_raw_bytes(0) is None
+
+    opens = []
+    orig = LRHRDataset._open
+    monkeypatch.setattr(
+        LRHRDataset, "_open",
+        lambda self, i: opens.append(i) or orig(self, i),
+    )
+    first = ds[0]
+    again = ds[0]
+    assert opens == [0]
+    np.testing.assert_array_equal(first["HR"], again["HR"])
+
+    off = LRHRDataset(fixture_root, "img", 16, 128, split="val",
+                      need_LR=True, cache=False)
+    assert off._cache is None
+    assert off.get_raw_bytes(0) is not None
+    np.testing.assert_allclose(off[0]["HR"], first["HR"], atol=1e-6)
