@@ -57,6 +57,36 @@ def train_loop(diffusion, train_loader, opt, on_validate,
             "size or add data (the loop would otherwise spin forever)"
         )
 
+    def cadences():
+        if current_step % opt["train"]["print_freq"] == 0:
+            log_train_step(diffusion, current_epoch, current_step,
+                           tb_logger, wandb_logger)
+        if current_step % opt["train"]["val_freq"] == 0:
+            on_validate(current_step, current_epoch)
+        if current_step % opt["train"]["save_checkpoint_freq"] == 0:
+            logger.info("Saving models and training states.")
+            diffusion.save_network(current_epoch, current_step)
+            if log_wandb_ckpt:
+                wandb_logger.log_checkpoint(current_epoch, current_step)
+
+    if ((opt.get("datasets") or {}).get("train") or {}).get("device_data"):
+        # device-resident path: the whole train set lives on the mesh as
+        # uint8; each dispatch runs spd fused optimizer steps that sample,
+        # normalize, and augment batches on-device (trainer.py). No host
+        # loader in the loop at all.
+        diffusion.load_device_dataset(train_loader.dataset)
+        batch_size = train_loader.batch_size
+        n = len(train_loader.dataset)
+        while current_step < n_iter:
+            k = min(spd, n_iter - current_step)
+            diffusion.optimize_parameters_resident(batch_size, k)
+            current_step += k
+            current_epoch = 1 + current_step * batch_size // max(n, 1)
+            cadences()
+        diffusion.wait_for_checkpoints()
+        logger.info("End of training.")
+        return
+
     def epochs():
         """Infinite (epoch-tagged) batch stream. One continuous stream keeps
         the device-prefetch pipeline warm across epoch boundaries — with

@@ -271,6 +271,125 @@ class Trainer:
         self.log_dict["l_pix"] = loss
         self.timer.tick(k)
 
+    # --------------------------------------------- device-resident training
+
+    def load_device_dataset(self, dataset):
+        """Upload the whole train set to the mesh once, as uint8
+        (decoded but not normalized — 4x smaller than f32).
+
+        TPU-first data path with no reference counterpart: on this class of
+        workload the full dataset fits HBM (FFHQ 16->128: 50k HR+SR pairs
+        ~= 4.9GB uint8), so per-step host->device transfers and dispatch
+        RPCs — which dominate the step time on a tunneled chip — are
+        replaced by on-device batch sampling inside the compiled step.
+        Normalization and the joint horizontal flip happen on-device
+        (augmentation randomness is drawn from the step key, so resumes
+        reproduce the same stream)."""
+        from sr3_tpu.parallel.mesh import replicated_sharding
+
+        items = [dataset._decoded(i) for i in range(len(dataset))]
+        keys = [k for k in ("HR", "SR") if k in items[0]]
+        if not self.conditional:
+            keys = ["HR"]
+        stacked = {
+            k: np.stack([it[k] for it in items]) for k in keys
+        }
+        sharding = replicated_sharding(self.mesh)
+        self._dev_data = {
+            k: jax.device_put(v, sharding) for k, v in stacked.items()
+        }
+        self._dev_min_max = getattr(dataset, "min_max", (-1, 1))
+        self._resident_batch = None
+        logger.info(
+            "Device-resident dataset: %d samples, %.1f MB uint8 on-chip",
+            len(dataset),
+            sum(v.nbytes for v in stacked.values()) / 1e6,
+        )
+
+    def _build_resident_steps(self, batch_size, k_steps):
+        """K fused optimizer steps in one dispatch, sampling each batch from
+        the device-resident dataset inside the scan."""
+        diffusion = self.diffusion
+        tx = self.tx
+        use_ema = self.use_ema
+        ema_decay = self.ema_decay
+        step_start_ema = self.step_start_ema
+        lo, hi = self._dev_min_max
+        n = next(iter(self._dev_data.values())).shape[0]
+
+        def sample_batch(key, data):
+            kidx, kflip = jax.random.split(key)
+            if n <= 4096:
+                # exact without-replacement draw per step (== an epoch
+                # permutation slice); randint for large sets
+                idx = jax.random.permutation(kidx, n)[:batch_size]
+            else:
+                idx = jax.random.randint(kidx, (batch_size,), 0, n)
+            flip = jax.random.bernoulli(kflip, 0.5, (batch_size,))
+
+            def prep(x):
+                x = x[idx].astype(jnp.float32) / 255.0 * (hi - lo) + lo
+                return jnp.where(
+                    flip[:, None, None, None], x[:, :, ::-1, :], x
+                )
+
+            return {k: prep(v) for k, v in data.items()}
+
+        def one_step(state: TrainState, sched, data, base_rng):
+            rng = jax.random.fold_in(base_rng, state.step)
+            k_batch, k_loss = jax.random.split(rng)
+            batch = sample_batch(k_batch, data)
+
+            loss, grads = jax.value_and_grad(
+                lambda p: diffusion.p_losses(p, sched, batch, k_loss,
+                                             train=True)
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            if use_ema:
+                ema = jax.tree_util.tree_map(
+                    lambda e, q: ema_decay * e + (1 - ema_decay) * q,
+                    state.ema_params, params,
+                )
+                ema = jax.lax.cond(
+                    state.step >= step_start_ema,
+                    lambda _: ema, lambda _: params, None,
+                )
+            else:
+                ema = state.ema_params
+            return TrainState(params=params, opt_state=opt_state,
+                              ema_params=ema, step=state.step + 1), loss
+
+        def k_fused(state, sched, data, base_rng):
+            def body(s, _):
+                s, loss = one_step(s, sched, data, base_rng)
+                return s, loss
+
+            state, losses = jax.lax.scan(
+                body, state, None, length=k_steps
+            )
+            return state, losses[-1]
+
+        return jax.jit(k_fused, donate_argnums=(0,))
+
+    def optimize_parameters_resident(self, batch_size, k_steps=1):
+        """Run k_steps optimizer steps in one dispatch over the
+        device-resident dataset (call load_device_dataset first)."""
+        key = ("resident", batch_size, k_steps)
+        if key not in self._sample_cache:
+            self._sample_cache[key] = self._build_resident_steps(
+                batch_size, k_steps
+            )
+        if getattr(self, "_train_base_rng", None) is None:
+            self.rng, self._train_base_rng = jax.random.split(self.rng)
+        self._resident_batch = batch_size
+        self.state, loss = self._sample_cache[key](
+            self.state, self.sched, self._dev_data, self._train_base_rng
+        )
+        self.log_dict["l_pix"] = loss
+        self.timer.tick(k_steps)
+
     # ------------------------------------------------------------- inference
 
     def _eval_params(self):
@@ -392,7 +511,10 @@ class Trainer:
 
     def get_current_log(self):
         logs = {k: float(v) for k, v in self.log_dict.items()}
-        batch = self.data["HR"].shape[0] if self.data is not None else None
+        if self.data is not None:
+            batch = self.data["HR"].shape[0]
+        else:
+            batch = getattr(self, "_resident_batch", None)
         logs.update(self.timer.stats(batch))
         return logs
 

@@ -88,3 +88,39 @@ def test_resume_counters_respected():
     d.begin_epoch = 2
     train_loop(d, _loader(4), _opt(6), lambda s, e: None)
     assert d.steps_run == 2  # only the remaining steps
+
+
+def test_device_resident_loop_branch():
+    """device_data=true routes through load_device_dataset +
+    optimize_parameters_resident with exact step counts and cadences."""
+
+    class ResidentFake(FakeDiffusion):
+        def load_device_dataset(self, dataset):
+            self.loaded = len(dataset)
+
+        def optimize_parameters_resident(self, batch_size, k_steps):
+            self.steps_run += k_steps
+            self.dispatches.append(k_steps)
+
+    class Loader:
+        batch_size = 2
+
+        def __init__(self):
+            self.dataset = [0] * 6
+
+        def __len__(self):
+            return 3
+
+        def __iter__(self):  # must never be used on the resident path
+            raise AssertionError("resident loop must not touch the loader")
+
+    d = ResidentFake()
+    opt = _opt(7, spd=3, val_freq=3, ckpt_freq=6)
+    opt["datasets"] = {"train": {"device_data": True}}
+    val_at = []
+    train_loop(d, Loader(), opt, lambda s, e: val_at.append(s))
+    assert d.loaded == 6
+    assert d.steps_run == 7
+    assert d.dispatches == [3, 3, 1]
+    assert val_at == [3, 6]
+    assert d.saves == [6]

@@ -245,3 +245,38 @@ def test_multi_step_dispatch_matches_sequential(tmp_path):
     for x, y in zip(pa, pb):
         # scan-inlined steps reassociate float ops slightly
         np.testing.assert_allclose(x, y, atol=1e-4)
+
+
+def test_device_resident_training(tmp_path):
+    """Device-resident path: the whole train set uploaded once as uint8,
+    batches sampled/normalized/flipped on-device in a fused K-step scan —
+    loss must go down and the step counter advance by K per dispatch.
+    Works on any mesh (dataset replicated)."""
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    t = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=1))
+    t.set_new_noise_schedule(t.opt["model"]["beta_schedule"]["train"], "train")
+
+    class Tiny:
+        min_max = (-1, 1)
+
+        def __len__(self):
+            return 4
+
+        def _decoded(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "HR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                "SR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+            }
+
+    t.load_device_dataset(Tiny())
+    dd = t._dev_data
+    assert dd["HR"].dtype == np.uint8 and dd["HR"].shape == (4, 16, 16, 3)
+
+    losses = []
+    for _ in range(6):
+        t.optimize_parameters_resident(batch_size=4, k_steps=3)
+        losses.append(t.get_current_log()["l_pix"])
+    assert int(t.state.step) == 18
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # 4 fixed images -> must overfit
