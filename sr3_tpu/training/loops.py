@@ -119,17 +119,7 @@ def train_loop(diffusion, train_loader, opt, on_validate,
             diffusion.feed_data(chunk[-1])
         current_step += len(chunk)
         chunk = []
-
-        if current_step % opt["train"]["print_freq"] == 0:
-            log_train_step(diffusion, current_epoch, current_step,
-                           tb_logger, wandb_logger)
-        if current_step % opt["train"]["val_freq"] == 0:
-            on_validate(current_step, current_epoch)
-        if current_step % opt["train"]["save_checkpoint_freq"] == 0:
-            logger.info("Saving models and training states.")
-            diffusion.save_network(current_epoch, current_step)
-            if log_wandb_ckpt:
-                wandb_logger.log_checkpoint(current_epoch, current_step)
+        cadences()
 
     diffusion.wait_for_checkpoints()
     logger.info("End of training.")
