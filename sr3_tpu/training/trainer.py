@@ -87,12 +87,19 @@ class Trainer:
 
         # optimizer
         if self.phase == "train":
-            lr = opt["train"]["optimizer"]["lr"]
-            tx = optax.adam(lr)
+            opt_cfg = opt["train"]["optimizer"]
+            lr = opt_cfg["lr"]
+            # optional bf16 first moment: halves the Adam mu HBM traffic
+            # (nu stays f32 — squared grads need the range)
+            mu_dtype = (
+                jnp.bfloat16 if opt_cfg.get("mu_dtype") == "bfloat16" else None
+            )
+            tx = optax.adam(lr, mu_dtype=mu_dtype)
             if opt["model"].get("finetune_norm"):
                 mask = _finetune_mask(params)
                 tx = optax.multi_transform(
-                    {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
+                    {"train": optax.adam(lr, mu_dtype=mu_dtype),
+                     "freeze": optax.set_to_zero()},
                     jax.tree_util.tree_map(
                         lambda m: "train" if m else "freeze", mask
                     ),

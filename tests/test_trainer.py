@@ -280,3 +280,25 @@ def test_device_resident_training(tmp_path):
     assert int(t.state.step) == 18
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # 4 fixed images -> must overfit
+
+
+def test_mu_dtype_bf16(tmp_path):
+    """optimizer.mu_dtype="bfloat16" stores the Adam first moment in bf16
+    (halving its HBM traffic) and still trains."""
+    import jax.numpy as jnp
+
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    opt = _opt(tmp_path)
+    opt["train"]["optimizer"]["mu_dtype"] = "bfloat16"
+    t = Trainer(opt, mesh=create_mesh(num_data=1))
+    t.set_new_noise_schedule(t.opt["model"]["beta_schedule"]["train"], "train")
+    t.feed_data(_batch())
+    t.optimize_parameters()
+    mu = t.state.opt_state[0].mu
+    dtypes = {x.dtype for x in jax.tree_util.tree_leaves(mu)}
+    assert dtypes == {jnp.dtype(jnp.bfloat16)}
+    nu = t.state.opt_state[0].nu
+    assert {x.dtype for x in jax.tree_util.tree_leaves(nu)} == {
+        jnp.dtype(jnp.float32)
+    }
+    assert np.isfinite(float(t.log_dict["l_pix"]))
