@@ -20,12 +20,15 @@ Downsample entries, ``mid_0``/``mid_1``, ``ups_i``, ``final_conv``.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from sr3_tpu.ops.attention import self_attention
+from sr3_tpu.ops.conv_fused import gn_silu_conv3x3
 from sr3_tpu.ops.groupnorm import group_norm_swish
 
 
@@ -71,8 +74,48 @@ class GroupNormSwish(nn.Module):
         )
 
 
+class _GNParams(nn.Module):
+    """Parameter holder matching GroupNormSwish's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree ({kernel, bias})."""
+
+    features: int
+    in_features: int
+    init_type: str
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _kernel_init(self.init_type),
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Block(nn.Module):
-    """GroupNorm -> Swish -> Dropout -> Conv3x3 (reference unet.py:80-91)."""
+    """GroupNorm -> Swish -> Dropout -> Conv3x3 (reference unet.py:80-91).
+
+    Deterministic path (sampling, or dropout=0 training) dispatches the
+    single-HBM-pass fused Pallas kernel on TPU (ops/conv_fused.py), with the
+    ResnetBlock's FiLM / bias conditioning folded in as a per-(batch,
+    channel) pre-affine. The param tree is identical to the submodule
+    composition ({norm: {scale, bias}, conv: {kernel, bias}}), so
+    checkpoints and the .pth converter are unaffected.
+    """
 
     dim_out: int
     groups: int = 32
@@ -81,15 +124,31 @@ class Block(nn.Module):
     init_type: str = "orthogonal"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        h = GroupNormSwish(num_groups=self.groups, name="norm")(x)
-        if self.dropout > 0.0:
-            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
-        h = nn.Conv(
-            self.dim_out, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.dtype, kernel_init=_kernel_init(self.init_type),
-            name="conv",
-        )(h.astype(self.dtype))
+    def __call__(self, x, *, train: bool = False, pre_scale=None,
+                 pre_bias=None):
+        c = x.shape[-1]
+        gn_scale, gn_bias = _GNParams(c, name="norm")()
+        kernel, bias = _ConvParams(self.dim_out, c, self.init_type,
+                                   name="conv")()
+
+        dropout_active = train and self.dropout > 0.0
+        if not dropout_active and os.environ.get("SR3_FUSED_CONV") != "0":
+            return gn_silu_conv3x3(
+                x, gn_scale, gn_bias, kernel.astype(self.dtype),
+                bias, self.groups, pre_scale=pre_scale, pre_bias=pre_bias,
+            )
+
+        # training path with dropout between swish and conv
+        if pre_scale is not None:
+            x = x * pre_scale[:, None, None, :].astype(x.dtype)
+        if pre_bias is not None:
+            x = x + pre_bias[:, None, None, :].astype(x.dtype)
+        h = group_norm_swish(x, gn_scale, gn_bias, self.groups, eps=1e-5)
+        h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        h = jax.lax.conv_general_dilated(
+            h.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
         return h
 
 
@@ -113,6 +172,11 @@ class ResnetBlock(nn.Module):
             init_type=self.init_type, name="block1",
         )(x, train=train)
 
+        # conditioning is a per-(batch, channel) affine a*h + b — computed
+        # here, but *applied inside block2's fused kernel* where it folds
+        # into the group statistics with zero extra HBM traffic
+        # (ops/conv_fused.py)
+        pre_scale = pre_bias = None
         if emb is not None:
             dense = lambda feats, name: nn.Dense(
                 feats, dtype=self.dtype,
@@ -121,20 +185,20 @@ class ResnetBlock(nn.Module):
             if self.cond_mode == "ddpm":
                 # Swish on the embedding, additive bias (ddpm_modules/unet.py:78-96)
                 e = nn.swish(emb.astype(jnp.float32)).astype(self.dtype)
-                h = h + dense(self.dim_out, "cond_proj")(e)[:, None, None, :]
+                pre_bias = dense(self.dim_out, "cond_proj")(e)
             elif self.use_affine_level:
                 gb = dense(2 * self.dim_out, "cond_proj")(emb.astype(self.dtype))
-                gamma, beta = jnp.split(gb[:, None, None, :], 2, axis=-1)
-                h = (1 + gamma) * h + beta
+                gamma, beta = jnp.split(gb, 2, axis=-1)
+                pre_scale, pre_bias = 1 + gamma, beta
             else:
-                h = h + dense(self.dim_out, "cond_proj")(
+                pre_bias = dense(self.dim_out, "cond_proj")(
                     emb.astype(self.dtype)
-                )[:, None, None, :]
+                )
 
         h = Block(
             self.dim_out, groups=self.norm_groups, dropout=self.dropout,
             dtype=self.dtype, init_type=self.init_type, name="block2",
-        )(h, train=train)
+        )(h, train=train, pre_scale=pre_scale, pre_bias=pre_bias)
 
         if dim != self.dim_out:
             x = nn.Conv(

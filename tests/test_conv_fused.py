@@ -1,0 +1,123 @@
+"""Fused GN+SiLU+Conv3x3 Pallas kernel vs the XLA composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr3_tpu.ops.conv_fused import (
+    fusable,
+    gn_silu_conv3x3,
+    gn_silu_conv3x3_xla,
+)
+
+
+def _inputs(b=2, h=16, w=16, c=32, cout=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype)
+    gs = jnp.asarray(rng.standard_normal(c) * 0.2 + 1.0, jnp.float32)
+    gb = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, cout)) * 0.05, dtype)
+    cb = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    return x, gs, gb, k, cb
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 32, 32),   # square, cin == cout
+    (1, 32, 16, 32, 64),   # H != W, channel growth
+    (2, 8, 8, 64, 32),     # smallest H, channel shrink
+])
+def test_pallas_matches_xla(shape):
+    b, h, w, c, cout = shape
+    x, gs, gb, k, cb = _inputs(b, h, w, c, cout)
+    ref = gn_silu_conv3x3_xla(x, gs, gb, k, cb, num_groups=8)
+    out = gn_silu_conv3x3(x, gs, gb, k, cb, num_groups=8,
+                          use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pre_affine_fold_matches_explicit():
+    """FiLM folding: kernel with (pre_scale, pre_bias) == explicit
+    a*x+b then GN+SiLU+conv."""
+    b, h, w, c, cout = 2, 16, 16, 32, 32
+    x, gs, gb, k, cb = _inputs(b, h, w, c, cout, seed=3)
+    rng = np.random.default_rng(7)
+    pa = jnp.asarray(1.0 + 0.3 * rng.standard_normal((b, c)), jnp.float32)
+    pb = jnp.asarray(0.2 * rng.standard_normal((b, c)), jnp.float32)
+
+    explicit = gn_silu_conv3x3_xla(
+        x * pa[:, None, None, :] + pb[:, None, None, :],
+        gs, gb, k, cb, num_groups=8)
+    fused = gn_silu_conv3x3(x, gs, gb, k, cb, num_groups=8,
+                            pre_scale=pa, pre_bias=pb,
+                            use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(explicit),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_no_bias():
+    x, gs, gb, k, _ = _inputs(1, 16, 16, 32, 32, seed=5)
+    ref = gn_silu_conv3x3_xla(x, gs, gb, k, None, num_groups=4)
+    out = gn_silu_conv3x3(x, gs, gb, k, None, num_groups=4,
+                          use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_conv_against_lax_direct():
+    """The 9-shifted-matmul decomposition alone (identity norm) must equal
+    lax.conv — isolates the halo/padding bookkeeping from the GN math."""
+    b, h, w, c, cout = 1, 16, 16, 32, 32
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, cout)) * 0.1, jnp.float32)
+    # invert the swish at x=large? simpler: compare both paths end-to-end
+    # with the same GN — the pure-conv property is covered by making GN a
+    # near-identity (scale 1, bias 0, one group over pre-whitened x)
+    gs = jnp.ones((c,), jnp.float32)
+    gb = jnp.zeros((c,), jnp.float32)
+    ref = gn_silu_conv3x3_xla(x, gs, gb, k, None, num_groups=1)
+    out = gn_silu_conv3x3(x, gs, gb, k, None, num_groups=1,
+                          use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fusable_budget():
+    f32 = jnp.float32
+    assert fusable((8, 128, 128, 64), 64, 32, jnp.bfloat16)
+    assert fusable((8, 16, 16, 512), 512, 32, jnp.bfloat16)
+    assert fusable((8, 128, 128, 128), 64, 32, jnp.bfloat16)  # widest up-block
+    assert not fusable((1, 512, 512, 64), 64, 32, f32)  # 512^2 f32: > VMEM
+    assert not fusable((1, 100, 100, 64), 64, 32, f32)  # non-pow2 H
+    assert not fusable((1, 16, 16, 30), 30, 4, f32)     # ragged channels
+
+
+def test_grad_through_fused_matches_xla():
+    """custom_vjp: grads through the Pallas forward (interpret) must match
+    grads of the XLA composition for every input."""
+    b, h, w, c, cout = 1, 16, 16, 32, 32
+    x, gs, gb, k, cb = _inputs(b, h, w, c, cout, seed=9)
+    rng = np.random.default_rng(13)
+    pa = jnp.asarray(1.0 + 0.1 * rng.standard_normal((b, c)), jnp.float32)
+    pb = jnp.asarray(0.1 * rng.standard_normal((b, c)), jnp.float32)
+
+    def loss_fused(x, gs, gb, k, cb, pa, pb):
+        y = gn_silu_conv3x3(x, gs, gb, k, cb, num_groups=8,
+                            pre_scale=pa, pre_bias=pb,
+                            use_pallas=True, interpret=True)
+        return jnp.sum(y * y)
+
+    def loss_xla(x, gs, gb, k, cb, pa, pb):
+        y = gn_silu_conv3x3_xla(x, gs, gb, k, cb, num_groups=8,
+                                pre_scale=pa, pre_bias=pb)
+        return jnp.sum(y * y)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        x, gs, gb, k, cb, pa, pb)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        x, gs, gb, k, cb, pa, pb)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
