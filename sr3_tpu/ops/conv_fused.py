@@ -93,10 +93,10 @@ def vmem_bytes(h, w, c, cout, itemsize):
     th = _pick_row_chunk(h, w, c, cout, itemsize)
     scratch = (h + 2) * (w + 2) * cp * itemsize
     kern = 9 * c * coutp * itemsize
-    in_slab = th * w * cp * itemsize
-    out_slab = th * w * coutp * itemsize
+    in_slabs = 2 * th * w * cp * itemsize
+    out_slabs = 2 * th * w * coutp * itemsize
     chunk_tmp = th * w * (coutp * 4 + cp * 4)  # f32 accum + f32 cast
-    return scratch + kern + in_slab + out_slab + chunk_tmp
+    return scratch + kern + in_slabs + out_slabs + chunk_tmp
 
 
 def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
@@ -120,15 +120,28 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
 
     pad_ref[:] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
 
-    # ---- pass 1: DMA x rows in (once), stage raw into scratch, accumulate
+    def start_in(i, slot):
+        pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(i * th, th)], in_slab.at[slot], in_sem.at[slot]
+        ).start()
+
+    # ---- pass 1: DMA x rows in (once), stage raw into scratch, accumulate.
+    # Double-buffered: chunk i+1's DMA overlaps chunk i's stats/staging.
+    start_in(0, 0)
+
     def stage_body(i, carry):
         s1, s2 = carry
-        dma = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(i * th, th)], in_slab, in_sem
-        )
-        dma.start()
-        dma.wait()
-        rows = in_slab[:]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            start_in(i + 1, jax.lax.rem(i + 1, 2))
+
+        pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(i * th, th)], in_slab.at[slot],
+            in_sem.at[slot]
+        ).wait()
+        rows = in_slab[slot]
         pad_ref[pl.ds(1 + i * th, th), 1:w + 1, :] = rows.astype(pad_ref.dtype)
         xf = rows.astype(jnp.float32)
         return (s1 + jnp.sum(xf, axis=(0, 1)).reshape(1, c),
@@ -178,8 +191,10 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
     # ---- pass 3: conv as 9 shifted matmuls per row chunk, DMA rows out
     cbias = cb_ref[0].astype(jnp.float32).reshape(1, cout)
 
+    # Double-buffered stores: chunk i's DMA-out overlaps chunk i+1's matmuls.
     def conv_body(i, _):
         r0 = i * th
+        slot = jax.lax.rem(i, 2)
         acc = jnp.zeros((th * w, cout), jnp.float32)
         for dh in range(3):
             for dw in range(3):
@@ -189,15 +204,31 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        out_slab[:] = (acc + cbias).reshape(th, w, cout).astype(out_dtype)
-        dma = pltpu.make_async_copy(
-            out_slab, o_hbm.at[n, pl.ds(r0, th)], out_sem
-        )
-        dma.start()
-        dma.wait()
+
+        @pl.when(i >= 2)
+        def _():  # slot free only once its previous store completed
+            pltpu.make_async_copy(
+                out_slab.at[slot], o_hbm.at[n, pl.ds((i - 2) * th, th)],
+                out_sem.at[slot]
+            ).wait()
+
+        out_slab[slot] = (acc + cbias).reshape(th, w, cout).astype(out_dtype)
+        pltpu.make_async_copy(
+            out_slab.at[slot], o_hbm.at[n, pl.ds(r0, th)], out_sem.at[slot]
+        ).start()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, conv_body, 0)
+
+    # drain the last (up to) two in-flight stores
+    for j in range(2):
+        i_last = n_chunks - 1 - j
+        if i_last >= 0:
+            slot = i_last % 2
+            pltpu.make_async_copy(
+                out_slab.at[slot], o_hbm.at[n, pl.ds(i_last * th, th)],
+                out_sem.at[slot]
+            ).wait()
 
 
 @functools.partial(
@@ -228,10 +259,10 @@ def _gn_silu_conv3x3_pallas(x, pre_scale, pre_bias, gn_scale, gn_bias,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2, w + 2, c), x.dtype),   # padded normalized map
-            pltpu.VMEM((th, w, c), x.dtype),          # DMA-in slab
-            pltpu.VMEM((th, w, cout), x.dtype),       # DMA-out slab
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th, w, c), x.dtype),       # double-buffered in slabs
+            pltpu.VMEM((2, th, w, cout), x.dtype),    # double-buffered out slabs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, pre_scale.reshape(b, c), pre_bias.reshape(b, c),
