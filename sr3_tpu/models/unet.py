@@ -125,17 +125,25 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, pre_scale=None,
-                 pre_bias=None):
+                 pre_bias=None, residual=None):
         c = x.shape[-1]
         gn_scale, gn_bias = _GNParams(c, name="norm")()
         kernel, bias = _ConvParams(self.dim_out, c, self.init_type,
                                    name="conv")()
 
         dropout_active = train and self.dropout > 0.0
-        if not dropout_active and os.environ.get("SR3_FUSED_CONV") != "0":
+        if not dropout_active:
+            # The Pallas kernel is opt-in (SR3_FUSED_CONV=1): measured on
+            # v5e it wins 1.4-1.8x in isolation at C>=256 but the whole
+            # model runs ~12% slower than XLA's cross-op fusion
+            # (ops/conv_fused.py docstring has the numbers).
+            use_pallas = (
+                None if os.environ.get("SR3_FUSED_CONV") == "1" else False
+            )
             return gn_silu_conv3x3(
                 x, gn_scale, gn_bias, kernel.astype(self.dtype),
                 bias, self.groups, pre_scale=pre_scale, pre_bias=pre_bias,
+                residual=residual, use_pallas=use_pallas,
             )
 
         # training path with dropout between swish and conv
@@ -149,6 +157,8 @@ class Block(nn.Module):
             h.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
             ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias.astype(self.dtype)
+        if residual is not None:
+            h = h + residual.astype(h.dtype)
         return h
 
 
@@ -195,17 +205,18 @@ class ResnetBlock(nn.Module):
                     emb.astype(self.dtype)
                 )
 
-        h = Block(
-            self.dim_out, groups=self.norm_groups, dropout=self.dropout,
-            dtype=self.dtype, init_type=self.init_type, name="block2",
-        )(h, train=train, pre_scale=pre_scale, pre_bias=pre_bias)
-
+        # the skip is fed into block2's fused kernel (added to the conv
+        # output pre-store), saving its separate read-add-write pass
         if dim != self.dim_out:
             x = nn.Conv(
                 self.dim_out, (1, 1), dtype=self.dtype,
                 kernel_init=_kernel_init(self.init_type), name="res_conv",
             )(x.astype(self.dtype))
-        return h + x
+        return Block(
+            self.dim_out, groups=self.norm_groups, dropout=self.dropout,
+            dtype=self.dtype, init_type=self.init_type, name="block2",
+        )(h, train=train, pre_scale=pre_scale, pre_bias=pre_bias,
+          residual=x)
 
 
 class SelfAttention(nn.Module):

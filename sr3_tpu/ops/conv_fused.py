@@ -27,6 +27,19 @@ traffic.
 Backward runs through a custom_vjp whose gradient is the XLA composition
 (the sampling chain — the perf headline — never calls it).
 Layout NHWC / HWIO; stats in f32; matmuls accumulate in f32.
+
+Measured on TPU v5e (batch 8, 16->128 model shapes): in ISOLATION the
+kernel beats the XLA composition by 1.4-1.8x at C>=256 blocks (e.g.
+32x32x256->256: 29.0us -> 20.7us; 16x16 512->512: 32.4 -> 19.4;
+32x32 512->256: 34.3 -> 19.2) and loses slightly at C=128. IN-MODEL,
+however, the full sampling step runs ~12% SLOWER with the kernel
+dispatched (8.5-8.9 ms/step vs 7.7 XLA): each pallas_call is a fusion
+barrier and Mosaic programs don't overlap with neighboring XLA ops, which
+costs more than the saved traffic on a model XLA already runs at ~87% of
+the HBM roofline. Hence dispatch is OPT-IN (``SR3_FUSED_CONV=1`` or
+``use_pallas=True``); the XLA composition is the default. C=64 maps (the
+model's widest level) are excluded either way: Mosaic cannot DMA-slice
+memrefs whose last dim is under the 128-lane tile.
 """
 
 from __future__ import annotations
@@ -99,9 +112,9 @@ def vmem_bytes(h, w, c, cout, itemsize):
     return scratch + kern + in_slabs + out_slabs + chunk_tmp
 
 
-def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
-            pad_ref, in_slab, out_slab, in_sem, out_sem,
-            *, num_groups, eps, th, out_dtype):
+def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, res_hbm,
+            o_hbm, pad_ref, in_slab, out_slab, res_slab, in_sem, out_sem,
+            res_sem, *, num_groups, eps, th, out_dtype, has_res):
     """One batch element per grid step. x_hbm/o_hbm stay in HBM; row chunks
     of ``th`` rows move through the slab buffers.
 
@@ -115,8 +128,8 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
     cg = c // num_groups
     n_chunks = h // th
 
-    pa = pa_ref[0].astype(jnp.float32)  # (C,)
-    pb = pb_ref[0].astype(jnp.float32)
+    pa = pa_ref[0, 0].astype(jnp.float32)  # (C,)
+    pb = pb_ref[0, 0].astype(jnp.float32)
 
     pad_ref[:] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
 
@@ -173,9 +186,9 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
 
     # normalized value of (a x + b):  ((a x + b) - mean)*rstd*scale + bias
     #   = x * (a*rstd*scale) + ((b - mean)*rstd*scale + bias)
-    sc = gs_ref[0].astype(jnp.float32) * rstd_c[0]
+    sc = gs_ref[0, 0].astype(jnp.float32) * rstd_c[0]
     mult = (pa * sc).reshape(1, 1, c)
-    add = ((pb - mean_c[0]) * sc + gb_ref[0].astype(jnp.float32)).reshape(
+    add = ((pb - mean_c[0]) * sc + gb_ref[0, 0].astype(jnp.float32)).reshape(
         1, 1, c)
 
     # ---- pass 2: normalize + swish the scratch interior in place
@@ -189,12 +202,18 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
     jax.lax.fori_loop(0, n_chunks, norm_body, 0)
 
     # ---- pass 3: conv as 9 shifted matmuls per row chunk, DMA rows out
-    cbias = cb_ref[0].astype(jnp.float32).reshape(1, cout)
+    cbias = cb_ref[0, 0].astype(jnp.float32).reshape(1, cout)
 
     # Double-buffered stores: chunk i's DMA-out overlaps chunk i+1's matmuls.
     def conv_body(i, _):
         r0 = i * th
         slot = jax.lax.rem(i, 2)
+        if has_res:
+            # fetch the residual rows while the matmuls run
+            res_dma = pltpu.make_async_copy(
+                res_hbm.at[n, pl.ds(r0, th)], res_slab, res_sem
+            )
+            res_dma.start()
         acc = jnp.zeros((th * w, cout), jnp.float32)
         for dh in range(3):
             for dw in range(3):
@@ -212,7 +231,11 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
                 out_sem.at[slot]
             ).wait()
 
-        out_slab[slot] = (acc + cbias).reshape(th, w, cout).astype(out_dtype)
+        y = acc + cbias
+        if has_res:
+            res_dma.wait()
+            y = y + res_slab[:].reshape(th * w, cout).astype(jnp.float32)
+        out_slab[slot] = y.reshape(th, w, cout).astype(out_dtype)
         pltpu.make_async_copy(
             out_slab.at[slot], o_hbm.at[n, pl.ds(r0, th)], out_sem.at[slot]
         ).start()
@@ -235,59 +258,67 @@ def _kernel(x_hbm, pa_ref, pb_ref, gs_ref, gb_ref, k_ref, cb_ref, o_hbm,
     jax.jit, static_argnames=("num_groups", "eps", "interpret")
 )
 def _gn_silu_conv3x3_pallas(x, pre_scale, pre_bias, gn_scale, gn_bias,
-                            kernel, bias, num_groups, eps=1e-5,
+                            kernel, bias, residual, num_groups, eps=1e-5,
                             interpret=False):
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
     th = _pick_row_chunk(h, w, c, cout, x.dtype.itemsize)
+    has_res = residual is not None
+    if not has_res:
+        # zero-size placeholder; the kernel never touches it
+        residual = jnp.zeros((b, th, w, cout), x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _kernel, num_groups=num_groups, eps=eps, th=th,
-            out_dtype=x.dtype,
+            out_dtype=x.dtype, has_res=has_res,
         ),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, 3, c, cout), lambda i: (0, 0, 0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # residual stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # y stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # y stays in HBM
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2, w + 2, c), x.dtype),   # padded normalized map
             pltpu.VMEM((2, th, w, c), x.dtype),       # double-buffered in slabs
             pltpu.VMEM((2, th, w, cout), x.dtype),    # double-buffered out slabs
+            pltpu.VMEM((th, w, cout), x.dtype),       # residual slab
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, pre_scale.reshape(b, c), pre_bias.reshape(b, c),
-      gn_scale.reshape(1, c), gn_bias.reshape(1, c),
-      kernel.astype(x.dtype), bias.reshape(1, cout))
+    )(x, pre_scale.reshape(b, 1, c), pre_bias.reshape(b, 1, c),
+      gn_scale.reshape(1, 1, c), gn_bias.reshape(1, 1, c),
+      kernel.astype(x.dtype), bias.reshape(1, 1, cout),
+      residual.astype(x.dtype))
     return out
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_fwd_bwd(num_groups, eps, interpret):
+def _fused_fwd_bwd(num_groups, eps, interpret, has_res):
     """custom_vjp: Pallas single-HBM-pass forward, XLA backward (the
     backward feeds conv grads XLA fuses well; sampling never calls it)."""
 
     @jax.custom_vjp
-    def f(x, ps, pb, gs, gb, k, cb):
+    def f(x, ps, pb, gs, gb, k, cb, r):
         return _gn_silu_conv3x3_pallas(
-            x, ps, pb, gs, gb, k, cb, num_groups, eps=eps,
-            interpret=interpret,
+            x, ps, pb, gs, gb, k, cb, r if has_res else None,
+            num_groups, eps=eps, interpret=interpret,
         )
 
-    def fwd(x, ps, pb, gs, gb, k, cb):
-        return f(x, ps, pb, gs, gb, k, cb), (x, ps, pb, gs, gb, k, cb)
+    def fwd(x, ps, pb, gs, gb, k, cb, r):
+        return f(x, ps, pb, gs, gb, k, cb, r), (x, ps, pb, gs, gb, k, cb, r)
 
     def bwd(res, g):
-        x, ps, pb, gs, gb, k, cb = res
+        x, ps, pb, gs, gb, k, cb, r = res
         _, vjp = jax.vjp(
             lambda x_, ps_, pb_, gs_, gb_, k_, cb_: gn_silu_conv3x3_xla(
                 x_, gs_, gb_, k_, cb_, num_groups, eps=eps,
@@ -295,30 +326,42 @@ def _fused_fwd_bwd(num_groups, eps, interpret):
             ),
             x, ps, pb, gs, gb, k, cb,
         )
-        return vjp(g)
+        return vjp(g) + (g.astype(r.dtype) if has_res
+                         else jnp.zeros_like(r),)
 
     f.defvjp(fwd, bwd)
     return f
 
 
 def fusable(x_shape, cout, num_groups, dtype):
-    """Can the Pallas kernel handle this block shape within VMEM?"""
+    """Can the Pallas kernel handle this block shape within VMEM?
+
+    Channel counts must be multiples of the 128-lane tile: Mosaic cannot
+    DMA-slice memrefs whose last dim is below/off the tile (observed:
+    "Slice shape along dimension 3 must be aligned to tiling (128)"), so
+    C=64 maps (the model's first level) stay on XLA.
+    """
     b, h, w, c = x_shape
-    if c % num_groups or h < 8 or (h & (h - 1)) or c % 8 or cout % 8:
+    if c % num_groups or h < 8 or (h & (h - 1)):
+        return False
+    if c % 128 or cout % 128:
         return False
     return vmem_bytes(h, w, c, cout, jnp.dtype(dtype).itemsize) \
         <= _VMEM_BUDGET
 
 
 def gn_silu_conv3x3(x, gn_scale, gn_bias, kernel, bias, num_groups,
-                    eps=1e-5, pre_scale=None, pre_bias=None,
+                    eps=1e-5, pre_scale=None, pre_bias=None, residual=None,
                     use_pallas=None, interpret=False):
-    """GroupNorm+SiLU+Conv3x3 (+ optional pre-affine conditioning fold).
+    """GroupNorm+SiLU+Conv3x3 (+ optional pre-affine conditioning fold
+    and fused residual add).
 
     ``pre_scale``/``pre_bias``: optional (B, C) per-sample affine applied to
     x before the norm — the FiLM / bias conditioning of a ResnetBlock.
-    Dispatches to the single-HBM-pass Pallas kernel on TPU when the block
-    fits VMEM; XLA composition otherwise.
+    ``residual``: optional (B, H, W, Cout) tensor added to the conv output
+    inside the kernel (the ResnetBlock skip), saving its separate
+    read-add-write pass. Dispatches to the single-HBM-pass Pallas kernel
+    on TPU when the block fits VMEM; XLA composition otherwise.
     """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
@@ -328,17 +371,21 @@ def gn_silu_conv3x3(x, gn_scale, gn_bias, kernel, bias, num_groups,
             and fusable(x.shape, cout, num_groups, x.dtype)
         )
     if not use_pallas:
-        return gn_silu_conv3x3_xla(
+        out = gn_silu_conv3x3_xla(
             x, gn_scale, gn_bias, kernel, bias, num_groups, eps=eps,
             pre_scale=pre_scale, pre_bias=pre_bias,
         )
+        return out + residual.astype(out.dtype) if residual is not None \
+            else out
     ps = jnp.ones((b, c), jnp.float32) if pre_scale is None \
         else pre_scale.astype(jnp.float32)
     pb = jnp.zeros((b, c), jnp.float32) if pre_bias is None \
         else pre_bias.astype(jnp.float32)
     cb = jnp.zeros((cout,), jnp.float32) if bias is None \
         else bias.astype(jnp.float32)
-    return _fused_fwd_bwd(num_groups, eps, interpret)(
+    has_res = residual is not None
+    r = residual if has_res else jnp.zeros((1,) * 4, x.dtype)
+    return _fused_fwd_bwd(num_groups, eps, interpret, has_res)(
         x, ps, pb, gn_scale.astype(jnp.float32),
-        gn_bias.astype(jnp.float32), kernel, cb,
+        gn_bias.astype(jnp.float32), kernel, cb, r,
     )

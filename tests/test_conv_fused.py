@@ -86,11 +86,12 @@ def test_conv_against_lax_direct():
 
 def test_fusable_budget():
     f32 = jnp.float32
-    assert fusable((8, 128, 128, 64), 64, 32, jnp.bfloat16)
+    assert fusable((8, 64, 64, 128), 128, 32, jnp.bfloat16)
     assert fusable((8, 16, 16, 512), 512, 32, jnp.bfloat16)
-    assert fusable((8, 128, 128, 128), 64, 32, jnp.bfloat16)  # widest up-block
-    assert not fusable((1, 512, 512, 64), 64, 32, f32)  # 512^2 f32: > VMEM
-    assert not fusable((1, 100, 100, 64), 64, 32, f32)  # non-pow2 H
+    assert fusable((8, 8, 8, 1024), 512, 32, jnp.bfloat16)   # up-path concat
+    assert not fusable((8, 128, 128, 64), 64, 32, jnp.bfloat16)  # C=64: lane tile
+    assert not fusable((1, 512, 512, 128), 128, 32, f32)  # 512^2 f32: > VMEM
+    assert not fusable((1, 100, 100, 128), 128, 32, f32)  # non-pow2 H
     assert not fusable((1, 16, 16, 30), 30, 4, f32)     # ragged channels
 
 
@@ -119,5 +120,30 @@ def test_grad_through_fused_matches_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5, 6))(
         x, gs, gb, k, cb, pa, pb)
     for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_residual_fold_matches_explicit():
+    """Kernel with residual input == explicit y + res, values and grads."""
+    b, h, w, c, cout = 2, 16, 16, 32, 32
+    x, gs, gb, k, cb = _inputs(b, h, w, c, cout, seed=21)
+    res = jnp.asarray(
+        np.random.default_rng(22).standard_normal((b, h, w, cout)),
+        jnp.float32)
+
+    explicit = gn_silu_conv3x3_xla(x, gs, gb, k, cb, num_groups=8) + res
+    fused = gn_silu_conv3x3(x, gs, gb, k, cb, num_groups=8, residual=res,
+                            use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(explicit),
+                               atol=2e-4, rtol=2e-4)
+
+    g1 = jax.grad(lambda x, r: jnp.sum(gn_silu_conv3x3(
+        x, gs, gb, k, cb, num_groups=8, residual=r,
+        use_pallas=True, interpret=True) ** 2), argnums=(0, 1))(x, res)
+    g2 = jax.grad(lambda x, r: jnp.sum(
+        (gn_silu_conv3x3_xla(x, gs, gb, k, cb, num_groups=8) + r) ** 2),
+        argnums=(0, 1))(x, res)
+    for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=5e-4)

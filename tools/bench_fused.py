@@ -37,14 +37,43 @@ SHAPES = [
 ]
 
 
-def bench(f, args, iters=30):
-    out = f(*args)
+K_INNER = 20
+
+
+def bench(f, args, iters=10):
+    """Per-op time with dispatch overhead amortized: K_INNER chained
+    applications inside one jit (the output feeds back into the input so
+    XLA cannot CSE or parallelize them)."""
+    x0, rest = args[0], args[1:]
+
+    c_in, c_out = x0.shape[-1], None
+
+    @jax.jit
+    def chained(x, *rest):
+        def mix(y):
+            # fold y (…,Cout) back to (…,Cin): slice or tile — a real
+            # data dependency XLA cannot simplify away
+            cout = y.shape[-1]
+            if cout >= c_in:
+                return y[..., :c_in]
+            reps = -(-c_in // cout)
+            return jnp.concatenate([y] * reps, axis=-1)[..., :c_in]
+
+        def body(c, _):
+            y = f(c, *rest)
+            return (x + 0.01 * mix(y)).astype(x.dtype), ()
+        c, _ = jax.lax.scan(body, x, None, length=K_INNER)
+        return c
+
+    out = chained(x0, *rest)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(iters):
-        out = f(*args)
+    for i in range(iters):
+        # vary the input per call — identical dispatches can be served
+        # from a cache upstream, which fakes impossible speeds
+        out = chained(x0 + jnp.asarray(i, x0.dtype), *rest)
     jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    return (time.time() - t0) / (iters * K_INNER)
 
 
 def main():
@@ -61,15 +90,15 @@ def main():
         k = jnp.asarray(rng.standard_normal((3, 3, c, cout)) * 0.05, dtype)
         cb = jnp.zeros((cout,), jnp.float32)
 
-        fx = jax.jit(lambda x, gs, gb, k, cb: gn_silu_conv3x3_xla(
-            x, gs, gb, k, cb, groups))
+        fx = lambda x, gs, gb, k, cb: gn_silu_conv3x3_xla(
+            x, gs, gb, k, cb, groups)
         tx = bench(fx, (x, gs, gb, k, cb))
         tot_x += tx
 
         ok = fusable(x.shape, cout, groups, dtype)
         if ok:
-            fp = jax.jit(lambda x, gs, gb, k, cb: gn_silu_conv3x3(
-                x, gs, gb, k, cb, groups, use_pallas=True))
+            fp = lambda x, gs, gb, k, cb: gn_silu_conv3x3(
+                x, gs, gb, k, cb, groups, use_pallas=True)
             tp = bench(fp, (x, gs, gb, k, cb))
             tot_p += tp
         else:
