@@ -141,6 +141,14 @@ def main():
         }))
 
     # ---- 2000-step sampling chain (headline)
+    # pre-cast >=2D params to the bf16 compute dtype once, outside the
+    # chain — bitwise identical to flax's per-op casts (regression-tested
+    # in test_trainer.py) but halves the per-step param HBM reads; same
+    # cast the drivers' eval path applies (trainer._eval_params)
+    if diffusion.denoise_fn.dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params
+        )
     x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
     fn = jax.jit(
         lambda p, x, k: diffusion.super_resolution(p, sched, x, k, False)

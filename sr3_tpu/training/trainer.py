@@ -400,7 +400,20 @@ class Trainer:
     # ------------------------------------------------------------- inference
 
     def _eval_params(self):
-        return self.state.ema_params if self.use_ema else self.state.params
+        params = self.state.ema_params if self.use_ema else self.state.params
+        # Pre-cast matrix/conv params to the bf16 compute dtype once, OUTSIDE
+        # the sampling scan: every op casts f32->bf16 before its matmul
+        # anyway, so results are bitwise identical — but the per-chain-step
+        # HBM read of the params halves (~390 -> ~195 MB for the 97.8M
+        # model). 1-D params (GN scale/bias) are consumed in f32 math and
+        # keep full precision.
+        cdtype = self.diffusion.denoise_fn.dtype
+        if cdtype == jnp.bfloat16:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p,
+                params,
+            )
+        return params
 
     def _chain_fn(self, continuous):
         """(params, sched, x_or_shape, key) -> reverse-chain output, per the

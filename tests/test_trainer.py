@@ -302,3 +302,25 @@ def test_mu_dtype_bf16(tmp_path):
         jnp.dtype(jnp.float32)
     }
     assert np.isfinite(float(t.log_dict["l_pix"]))
+
+
+def test_eval_param_precast_bitwise_identical(tmp_path):
+    """Pre-casting >=2D params to bf16 before the chain is bitwise
+    identical to flax's internal per-op f32->bf16 casts."""
+    import jax.numpy as jnp
+
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    opt = _opt(tmp_path)
+    opt["model"]["dtype"] = "bfloat16"
+    t = Trainer(opt, mesh=create_mesh(num_data=1))
+    params = t.state.params
+    cast = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 16, 6)),
+        jnp.bfloat16)
+    lvl = jnp.full((2,), 0.7, jnp.float32)
+    y1 = t.diffusion.denoise_fn.apply(params, x, lvl, train=False)
+    y2 = t.diffusion.denoise_fn.apply(cast, x, lvl, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
