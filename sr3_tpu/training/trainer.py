@@ -326,9 +326,10 @@ class Trainer:
 
         def sample_batch(key, data):
             kidx, kflip = jax.random.split(key)
-            if n <= 4096:
+            if batch_size <= n <= 4096:
                 # exact without-replacement draw per step (== an epoch
-                # permutation slice); randint for large sets
+                # permutation slice); randint for large sets or when the
+                # batch exceeds the dataset (sampling with replacement)
                 idx = jax.random.permutation(kidx, n)[:batch_size]
             else:
                 idx = jax.random.randint(kidx, (batch_size,), 0, n)

@@ -324,3 +324,29 @@ def test_eval_param_precast_bitwise_identical(tmp_path):
     y1 = t.diffusion.denoise_fn.apply(params, x, lvl, train=False)
     y2 = t.diffusion.denoise_fn.apply(cast, x, lvl, train=False)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_device_resident_batch_larger_than_dataset(tmp_path):
+    """batch_size > n samples must sample with replacement, not silently
+    deliver a short batch (regression: permutation[:batch] under-filled)."""
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    t = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=1))
+    t.set_new_noise_schedule(t.opt["model"]["beta_schedule"]["train"], "train")
+
+    class Tiny:
+        min_max = (-1, 1)
+
+        def __len__(self):
+            return 3
+
+        def _decoded(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "HR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                "SR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+            }
+
+    t.load_device_dataset(Tiny())
+    t.optimize_parameters_resident(batch_size=8, k_steps=2)
+    assert int(t.state.step) == 2
+    assert np.isfinite(float(t.get_current_log()["l_pix"]))
