@@ -384,6 +384,15 @@ class Trainer:
     def optimize_parameters_resident(self, batch_size, k_steps=1):
         """Run k_steps optimizer steps in one dispatch over the
         device-resident dataset (call load_device_dataset first)."""
+        if batch_size % 8 and jax.default_backend() == "tpu" \
+                and not getattr(self, "_warned_batch_tile", False):
+            self._warned_batch_tile = True
+            logger.warning(
+                "batch_size %d is not a multiple of the TPU sublane tile "
+                "(8): measured on v5e, batch 6 trains ~1.5x SLOWER than "
+                "batch 8 (56 vs 36 ms/step on the 16->128 model). Use a "
+                "multiple of 8.", batch_size,
+            )
         key = ("resident", batch_size, k_steps)
         if key not in self._sample_cache:
             self._sample_cache[key] = self._build_resident_steps(
