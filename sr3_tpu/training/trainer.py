@@ -323,6 +323,9 @@ class Trainer:
         step_start_ema = self.step_start_ema
         lo, hi = self._dev_min_max
         n = next(iter(self._dev_data.values())).shape[0]
+        from sr3_tpu.parallel.mesh import batch_sharding
+
+        data_sharding = batch_sharding(self.mesh)
 
         def sample_batch(key, data):
             kidx, kflip = jax.random.split(key)
@@ -337,9 +340,13 @@ class Trainer:
 
             def prep(x):
                 x = x[idx].astype(jnp.float32) / 255.0 * (hi - lo) + lo
-                return jnp.where(
+                x = jnp.where(
                     flip[:, None, None, None], x[:, :, ::-1, :], x
                 )
+                # the dataset is replicated; without this constraint every
+                # device would materialize (and train on) the full batch —
+                # shard it over 'data' so the step stays data-parallel
+                return jax.lax.with_sharding_constraint(x, data_sharding)
 
             return {k: prep(v) for k, v in data.items()}
 

@@ -125,3 +125,42 @@ def test_multihost_loader_shards_disjoint(monkeypatch, tmp_path):
     mesh = create_mesh(num_data=8)
     with pytest.raises(ValueError, match="multi-host"):
         shard_batch({"HR": np.zeros((2, 4, 4, 3), np.float32)}, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_device_resident_training_multichip(tmp_path):
+    """Device-resident training on an 8-device data mesh must match the
+    single-device trajectory (the on-device batch is sharded over 'data'
+    via a sharding constraint — without it every chip would redundantly
+    train on the full batch)."""
+    import numpy as np
+    from sr3_tpu.training.trainer import Trainer
+    from tests.test_trainer import _opt
+
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+
+    class Tiny:
+        min_max = (-1, 1)
+
+        def __len__(self):
+            return 8
+
+        def _decoded(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "HR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                "SR": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+            }
+
+    results = []
+    for ndev in (1, 8):
+        t = Trainer(_opt(tmp_path), mesh=create_mesh(num_data=ndev))
+        t.set_new_noise_schedule(
+            t.opt["model"]["beta_schedule"]["train"], "train")
+        t.load_device_dataset(Tiny())
+        for _ in range(2):
+            t.optimize_parameters_resident(batch_size=8, k_steps=2)
+        results.append(
+            jax.tree_util.tree_leaves(jax.device_get(t.state.params)))
+    for x, y in zip(*results):
+        np.testing.assert_allclose(x, y, atol=2e-3)
