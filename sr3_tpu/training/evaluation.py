@@ -111,13 +111,20 @@ def _group_size(opt, n_items=None):
     sweep (docs/PERFSCAN_r02.txt) shows sampling throughput saturates at
     batch 8 (a batch-8 chain costs ~3.5x a batch-1 chain but serves 8
     images), and capping at the item count avoids padding waste on tiny
-    val sets. GroupedEvaluator rounds up to a mesh-data-axis multiple."""
+    val sets. At output resolution >= 256 the default falls back to the
+    mesh data-axis size (1 per chip): a batch-8 512^2 reverse chain holds
+    ~8x the activation memory of the batch-1 chain the configs were sized
+    for and risks HBM exhaustion. GroupedEvaluator rounds up to a
+    mesh-data-axis multiple."""
     try:
-        g = (opt["datasets"]["val"] or {}).get("batch_size")
+        val_opt = opt["datasets"]["val"] or {}
     except (KeyError, TypeError):
-        g = None
+        val_opt = {}
+    g = val_opt.get("batch_size")
     if g:
         return g
+    if int(val_opt.get("r_resolution") or 0) >= 256:
+        return None  # -> mesh data-axis default
     return min(8, n_items) if n_items else 8
 
 
@@ -159,6 +166,17 @@ def validate_in_train(diffusion, val_loader, opt, current_step, current_epoch,
         if wandb_logger:
             wandb_logger.log_image(f"validation_{idx}", panel)
         avg_psnr += Metrics.calculate_psnr(sr_img, hr_img)
+    if idx == 0:
+        # a misconfigured/empty val dir must not kill a training run
+        # mid-flight with ZeroDivisionError — warn and carry on
+        logger.warning(
+            "Validation produced 0 images (empty val set at %s?) — "
+            "skipping PSNR.", opt["datasets"]["val"].get("dataroot"),
+        )
+        diffusion.set_new_noise_schedule(
+            opt["model"]["beta_schedule"]["train"], schedule_phase="train"
+        )
+        return float("nan")
     avg_psnr /= idx
 
     diffusion.set_new_noise_schedule(
@@ -214,6 +232,12 @@ def evaluate_sr(diffusion, val_loader, opt, current_step, current_epoch,
                 fake_img, sr_img, hr_img, eval_psnr, eval_ssim
             )
 
+    if idx == 0:
+        logger.warning(
+            "Evaluation produced 0 images (empty val set at %s?).",
+            opt["datasets"]["val"].get("dataroot"),
+        )
+        return float("nan"), float("nan")
     avg_psnr /= idx
     avg_ssim /= idx
     logger.info("# Validation # PSNR: {:.4e}".format(avg_psnr))

@@ -57,13 +57,24 @@ def train_loop(diffusion, train_loader, opt, on_validate,
             "size or add data (the loop would otherwise spin forever)"
         )
 
-    def cadences():
-        if current_step % opt["train"]["print_freq"] == 0:
+    def cadences(prev_step):
+        # Threshold-crossing logic: fire when the step counter CROSSES a
+        # multiple of the freq, not only when it lands exactly on one.
+        # With steps_per_dispatch > 1 the counter advances in jumps of spd,
+        # so `current_step % freq == 0` would silently skip any freq that
+        # spd does not divide (e.g. spd=16, val_freq=10 -> never validates
+        # at 10, 30, 50...). The reference fires every step (sr.py:90-103)
+        # so exact-landing and crossing are equivalent there; under fused
+        # dispatch only crossing preserves the cadence contract.
+        def crossed(freq):
+            return current_step // freq > prev_step // freq
+
+        if crossed(opt["train"]["print_freq"]):
             log_train_step(diffusion, current_epoch, current_step,
                            tb_logger, wandb_logger)
-        if current_step % opt["train"]["val_freq"] == 0:
+        if crossed(opt["train"]["val_freq"]):
             on_validate(current_step, current_epoch)
-        if current_step % opt["train"]["save_checkpoint_freq"] == 0:
+        if crossed(opt["train"]["save_checkpoint_freq"]):
             logger.info("Saving models and training states.")
             diffusion.save_network(current_epoch, current_step)
             if log_wandb_ckpt:
@@ -80,9 +91,10 @@ def train_loop(diffusion, train_loader, opt, on_validate,
         while current_step < n_iter:
             k = min(spd, n_iter - current_step)
             diffusion.optimize_parameters_resident(batch_size, k)
+            prev_step = current_step
             current_step += k
             current_epoch = 1 + current_step * batch_size // max(n, 1)
-            cadences()
+            cadences(prev_step)
         diffusion.wait_for_checkpoints()
         logger.info("End of training.")
         return
@@ -98,13 +110,17 @@ def train_loop(diffusion, train_loader, opt, on_validate,
             epoch += 1
             for b in train_loader:
                 yield {**b, "_epoch": epoch}
-            if wandb_logger:
-                wandb_logger.log_metrics({"epoch": epoch - 1})
 
+    # epoch metric is logged CONSUMER-side when the trained-on epoch
+    # advances (the generator runs ahead of training by the prefetch
+    # lookahead, so logging there would stamp epochs up to 2 batches
+    # early and drop the final partial epoch)
     chunk = []
     for train_data in device_prefetch(epochs(), diffusion.mesh):
         if current_step >= n_iter:
             break
+        if wandb_logger and train_data["_epoch"] > current_epoch > 0:
+            wandb_logger.log_metrics({"epoch": current_epoch})
         current_epoch = train_data.pop("_epoch")
         chunk.append(train_data)
         # accumulate until the dispatch is full, or n_iter is reached
@@ -117,9 +133,12 @@ def train_loop(diffusion, train_loader, opt, on_validate,
         else:
             diffusion.optimize_parameters_multi(chunk)
             diffusion.feed_data(chunk[-1])
+        prev_step = current_step
         current_step += len(chunk)
         chunk = []
-        cadences()
+        cadences(prev_step)
 
+    if wandb_logger and current_epoch > 0:
+        wandb_logger.log_metrics({"epoch": current_epoch})
     diffusion.wait_for_checkpoints()
     logger.info("End of training.")

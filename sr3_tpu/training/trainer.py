@@ -391,6 +391,17 @@ class Trainer:
     def optimize_parameters_resident(self, batch_size, k_steps=1):
         """Run k_steps optimizer steps in one dispatch over the
         device-resident dataset (call load_device_dataset first)."""
+        data_axis = self.mesh.shape["data"]
+        if batch_size % data_axis:
+            # fail here with a clear message instead of at trace time with
+            # an opaque GSPMD sharding error
+            raise ValueError(
+                f"device-resident training requires batch_size divisible by "
+                f"the mesh 'data' axis: batch_size={batch_size}, "
+                f"data axis={data_axis}. Pick a multiple of {data_axis} "
+                "(the host-loader path instead falls back to replication "
+                "for indivisible batches)."
+            )
         if batch_size % 8 and jax.default_backend() == "tpu" \
                 and not getattr(self, "_warned_batch_tile", False):
             self._warned_batch_tile = True
@@ -569,12 +580,37 @@ class Trainer:
         return out
 
     def print_network(self):
+        """Log the param count AND the full network description, like the
+        reference (model/model.py:112-122 logs `str(network)` after the
+        summary line). The flax analog of torch's module repr is a
+        per-module dump of every parameter path with shape/size."""
         n = count_params(self.state.params)
         logger.info(
             "Network G structure: UNet(cond_mode=%s), with parameters: %s",
             self.diffusion.cond_mode,
             "{:,d}".format(n),
         )
+        flat = traverse_util.flatten_dict(
+            jax.device_get(self.state.params).get("params", {})
+        )
+        lines = [
+            "UNet(cond_mode={}, in_channel={}, inner_channel={}, "
+            "channel_mults={}, attn_res={}, res_blocks={})".format(
+                self.diffusion.cond_mode,
+                self.diffusion.denoise_fn.in_channel,
+                self.diffusion.denoise_fn.inner_channel,
+                tuple(self.diffusion.denoise_fn.channel_mults),
+                tuple(self.diffusion.denoise_fn.attn_res),
+                self.diffusion.denoise_fn.res_blocks,
+            )
+        ]
+        for path, leaf in sorted(flat.items()):
+            lines.append(
+                "  {}: {} [{:,d}]".format(
+                    ".".join(map(str, path)), tuple(leaf.shape), leaf.size
+                )
+            )
+        logger.info("\n".join(lines))
 
     # ---------------------------------------------------------- checkpoints
 
