@@ -160,9 +160,12 @@ class GaussianDiffusion:
     # -------------------------------------------------------------- sampling
 
     def p_sample_step(self, params, sched: Schedule, img, t, key,
-                      condition_x=None, clip_denoised: bool = True):
+                      condition_x=None, clip_denoised: bool = True,
+                      noise=None):
         """One reverse step x_t -> x_{t-1} (reference
-        sr3_modules/diffusion.py:141-174). ``t`` may be a traced scalar."""
+        sr3_modules/diffusion.py:141-174). ``t`` may be a traced scalar.
+        ``noise`` overrides the on-device draw (parity-test seam: lets an
+        externally drawn stream flow through the exact production math)."""
         b = img.shape[0]
         if self.cond_mode == "sr3":
             lvl = jnp.broadcast_to(
@@ -189,12 +192,14 @@ class GaussianDiffusion:
             + sched.posterior_mean_coef2[t] * img
         )
         log_var = sched.posterior_log_variance_clipped[t]
-        noise = jax.random.normal(key, img.shape, dtype=jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(key, img.shape, dtype=jnp.float32)
         nonzero = jnp.asarray(t > 0, jnp.float32)
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
     def p_sample_loop(self, params, sched: Schedule, x_in, rng,
-                      continuous: bool = False, clip_denoised: bool = True):
+                      continuous: bool = False, clip_denoised: bool = True,
+                      noise_stream=None):
         """Full reverse chain as a single lax.scan.
 
         ``x_in``: condition image (b,h,w,c) when conditional, else a shape
@@ -202,6 +207,13 @@ class GaussianDiffusion:
         the stacked process frames ((1+n_snap)*b, h, w, c): frame 0 is the
         input condition (or the initial noise when unconditional), matching
         reference sr3_modules/diffusion.py:176-200.
+
+        ``noise_stream``: optional ``(init_noise, step_noises)`` with shapes
+        ``shape`` and ``(T,) + shape`` replacing every on-device draw —
+        step_noises[i] feeds scan position i (t = T-1-i). This is the
+        golden-parity seam: the torch reference's randn stream injected here
+        must reproduce its output bit-for-step through this exact compiled
+        scan (tests/test_torch_parity.py).
         """
         T = sched.num_timesteps
         n_snap, inter = _snapshot_count(T)
@@ -214,17 +226,32 @@ class GaussianDiffusion:
             shape = tuple(x_in)
         b = shape[0]
 
-        key_init, key_chain = jax.random.split(rng)
-        img0 = jax.random.normal(key_init, shape, dtype=jnp.float32)
+        if noise_stream is None:
+            key_init, key_chain = jax.random.split(rng)
+            img0 = jax.random.normal(key_init, shape, dtype=jnp.float32)
+            step_noises = None
+        else:
+            img0, step_noises = noise_stream
+            img0 = jnp.asarray(img0, jnp.float32)
+            step_noises = jnp.asarray(step_noises, jnp.float32)
+            key_chain = rng
+
+        ts = jnp.arange(T - 1, -1, -1)
+        xs = ts if step_noises is None else (ts, step_noises)
+
+        def unpack(x):
+            return (x, None) if step_noises is None else x
 
         if continuous:
             snaps0 = jnp.zeros((n_snap,) + shape, jnp.float32)
 
-            def step(carry, t):
+            def step(carry, x):
+                t, noise = unpack(x)
                 img, key, snaps = carry
                 key, sub = jax.random.split(key)
                 img = self.p_sample_step(
-                    params, sched, img, t, sub, condition_x, clip_denoised
+                    params, sched, img, t, sub, condition_x, clip_denoised,
+                    noise=noise,
                 )
                 write_idx = (n_snap - 1) - t // inter
                 snaps = jax.lax.cond(
@@ -237,24 +264,24 @@ class GaussianDiffusion:
                 )
                 return (img, key, snaps), None
 
-            ts = jnp.arange(T - 1, -1, -1)
             (img, _, snaps), _ = jax.lax.scan(
-                step, (img0, key_chain, snaps0), ts
+                step, (img0, key_chain, snaps0), xs
             )
             first = condition_x if self.conditional else img0
             frames = jnp.concatenate([first[None], snaps], axis=0)
             return frames.reshape((-1,) + shape[1:])
 
-        def step(carry, t):
+        def step(carry, x):
+            t, noise = unpack(x)
             img, key = carry
             key, sub = jax.random.split(key)
             img = self.p_sample_step(
-                params, sched, img, t, sub, condition_x, clip_denoised
+                params, sched, img, t, sub, condition_x, clip_denoised,
+                noise=noise,
             )
             return (img, key), None
 
-        ts = jnp.arange(T - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (img0, key_chain), ts)
+        (img, _), _ = jax.lax.scan(step, (img0, key_chain), xs)
         return img
 
     def ddim_sample_loop(self, params, sched: Schedule, x_in, rng,

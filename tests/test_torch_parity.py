@@ -121,6 +121,195 @@ def test_forward_parity_with_transferred_weights(cond_mode):
     np.testing.assert_allclose(out_ours, out_ref, atol=2e-4, rtol=1e-3)
 
 
+def _make_ref_diffusion(cond_mode, ref_unet_model, T=10, conditional=True):
+    import importlib
+
+    sys.path.insert(0, os.path.join(REF, "model", f"{cond_mode}_modules"))
+    try:
+        import diffusion as ref_diff_mod
+
+        importlib.reload(ref_diff_mod)
+        ref_diff = ref_diff_mod.GaussianDiffusion(
+            ref_unet_model, image_size=16, channels=3, loss_type="l1",
+            conditional=conditional,
+        )
+        ref_diff.set_loss(torch.device("cpu"))
+        ref_diff.set_new_noise_schedule(
+            {"schedule": "linear", "n_timestep": T,
+             "linear_start": 1e-6, "linear_end": 1e-2},
+            torch.device("cpu"),
+        )
+        return ref_diff
+    finally:
+        sys.path.pop(0)
+
+
+class _NoiseQueue:
+    """Replaces torch.randn/randn_like with pops from a pre-drawn stream so
+    the reference's sampling loop consumes a known noise sequence."""
+
+    def __init__(self, tensors):
+        self.queue = list(tensors)
+        self.popped = 0
+
+    def randn(self, *shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list, torch.Size)):
+            shape = tuple(shape[0])
+        t = self.queue.pop(0)
+        self.popped += 1
+        assert tuple(t.shape) == tuple(shape), (t.shape, shape)
+        return t.clone()
+
+    def randn_like(self, x, **kw):
+        return self.randn(*x.shape)
+
+
+def _run_ref_chain_with_stream(ref_diff, x_in, stream, continous):
+    """Run the reference p_sample_loop with torch.randn/randn_like
+    monkeypatched to the stream (reference sr3_modules/diffusion.py:176-200
+    draws init noise + one randn_like per step with t > 0)."""
+    q = _NoiseQueue(stream)
+    saved = (torch.randn, torch.randn_like)
+    torch.randn, torch.randn_like = q.randn, q.randn_like
+    try:
+        with torch.no_grad():
+            if ref_diff.conditional:
+                out = ref_diff.super_resolution(x_in, continous=continous)
+            else:
+                out = ref_diff.p_sample_loop(x_in, continous=continous)
+    finally:
+        torch.randn, torch.randn_like = saved
+    return out.numpy(), q
+
+
+@pytest.mark.parametrize("cond_mode", ["sr3", "ddpm"])
+def test_full_chain_parity_conditional(cond_mode):
+    """THE full-chain golden test (VERDICT r2 next-round #1): one identical
+    noise stream through the reference's Python sampling loop and through
+    this framework's single compiled lax.scan; every frame of the process
+    stack (snapshot indexing included) must agree. Certifies the whole
+    p_sample_loop program, not just one step."""
+    import jax
+
+    from sr3_tpu.models.diffusion import GaussianDiffusion
+    from sr3_tpu.models.schedule import make_schedule
+    from sr3_tpu.utils.torch_compat import torch_state_dict_to_flax
+
+    T = 10
+    ref, ours = _build_pair(cond_mode)
+    params = torch_state_dict_to_flax(
+        {k: v.detach() for k, v in ref.state_dict().items()},
+        in_channel=6, inner_channel=16, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, image_size=16, cond_mode=cond_mode,
+    )
+    ref_diff = _make_ref_diffusion(cond_mode, ref, T=T)
+    sched = make_schedule({"schedule": "linear", "n_timestep": T,
+                           "linear_start": 1e-6, "linear_end": 1e-2})
+    diff = GaussianDiffusion(ours, image_size=16, conditional=True,
+                             cond_mode=cond_mode)
+
+    rng = np.random.default_rng(5)
+    cond = rng.standard_normal((1, 16, 16, 3)).astype(np.float32) * 0.5
+    init = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    steps = rng.standard_normal((T, 1, 16, 16, 3)).astype(np.float32)
+
+    # torch consumption order: init randn, then one per step in t-descending
+    # order — sr3 draws only while t > 0 (randn_like, diffusion.py:173);
+    # ddpm draws every step incl. t=0 and masks it (noise_like, :194-198)
+    n_step_draws = T if cond_mode == "ddpm" else T - 1
+    stream = [torch.from_numpy(np.transpose(init, (0, 3, 1, 2)))]
+    stream += [
+        torch.from_numpy(np.transpose(steps[i], (0, 3, 1, 2)))
+        for i in range(n_step_draws)
+    ]
+    cond_t = torch.from_numpy(np.transpose(cond, (0, 3, 1, 2)))
+    frames_ref, q = _run_ref_chain_with_stream(
+        ref_diff, cond_t, stream, continous=True
+    )
+    assert not q.queue, "reference did not consume the whole stream"
+    frames_ref = np.transpose(frames_ref, (0, 2, 3, 1))
+
+    frames_ours = np.asarray(
+        jax.jit(
+            lambda p, x, ns: diff.p_sample_loop(
+                p, sched, x, jax.random.PRNGKey(0), continuous=True,
+                noise_stream=ns,
+            )
+        )(params, cond, (init, steps))
+    )
+    assert frames_ours.shape == frames_ref.shape  # (1+T snapshots) at T=10
+    np.testing.assert_allclose(frames_ours, frames_ref, atol=5e-4, rtol=1e-3)
+
+    # final-image (non-continuous) path must agree with the last frame
+    final_ours = np.asarray(
+        jax.jit(
+            lambda p, x, ns: diff.p_sample_loop(
+                p, sched, x, jax.random.PRNGKey(0), continuous=False,
+                noise_stream=ns,
+            )
+        )(params, cond, (init, steps))
+    )
+    np.testing.assert_allclose(final_ours, frames_ref[-1:], atol=5e-4,
+                               rtol=1e-3)
+
+
+def test_full_chain_parity_unconditional_sr3():
+    """Unconditional branch of the chain (reference
+    sr3_modules/diffusion.py:180-187): frame 0 is the initial noise."""
+    import jax
+
+    from sr3_tpu.models.diffusion import GaussianDiffusion
+    from sr3_tpu.models.schedule import make_schedule
+    from sr3_tpu.utils.torch_compat import torch_state_dict_to_flax
+
+    T = 10
+    kwargs = dict(SMALL, in_channel=3)
+    ref_unet = _import_ref_unet("sr3")
+    torch.manual_seed(0)
+    ref = ref_unet.UNet(
+        in_channel=3, out_channel=3, inner_channel=16, norm_groups=8,
+        channel_mults=(1, 2), attn_res=(8,), res_blocks=1, dropout=0,
+        with_noise_level_emb=True, image_size=16,
+    )
+    ref.eval()
+    from sr3_tpu.models.unet import UNet
+
+    ours = UNet(cond_mode="sr3", **kwargs)
+    params = torch_state_dict_to_flax(
+        {k: v.detach() for k, v in ref.state_dict().items()},
+        in_channel=3, inner_channel=16, channel_mults=(1, 2), attn_res=(8,),
+        res_blocks=1, image_size=16, cond_mode="sr3",
+    )
+    ref_diff = _make_ref_diffusion("sr3", ref, T=T, conditional=False)
+    sched = make_schedule({"schedule": "linear", "n_timestep": T,
+                           "linear_start": 1e-6, "linear_end": 1e-2})
+    diff = GaussianDiffusion(ours, image_size=16, conditional=False,
+                             cond_mode="sr3")
+
+    rng = np.random.default_rng(6)
+    init = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    steps = rng.standard_normal((T, 1, 16, 16, 3)).astype(np.float32)
+    stream = [torch.from_numpy(np.transpose(init, (0, 3, 1, 2)))]
+    stream += [
+        torch.from_numpy(np.transpose(steps[i], (0, 3, 1, 2)))
+        for i in range(T - 1)
+    ]
+    frames_ref, q = _run_ref_chain_with_stream(
+        ref_diff, (1, 3, 16, 16), stream, continous=True
+    )
+    assert not q.queue
+    frames_ref = np.transpose(frames_ref, (0, 2, 3, 1))
+
+    frames_ours = np.asarray(
+        diff.p_sample_loop(
+            params, sched, (1, 16, 16, 3), jax.random.PRNGKey(0),
+            continuous=True, noise_stream=(init, steps),
+        )
+    )
+    assert frames_ours.shape == frames_ref.shape
+    np.testing.assert_allclose(frames_ours, frames_ref, atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("cond_mode", ["sr3", "ddpm"])
 def test_diffusion_p_sample_parity(cond_mode):
     """One reverse step with transferred weights must match the reference's
