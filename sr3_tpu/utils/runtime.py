@@ -25,7 +25,18 @@ def setup_runtime():
         jax.config.update("jax_platforms", os.environ["SR3_PLATFORM"])
 
     if os.environ.get("SR3_MULTIHOST"):
-        jax.distributed.initialize()
+        # On TPU pods / known clusters jax autodetects everything; on
+        # generic hosts (and in the two-process CI test) the coordinator
+        # triple is passed explicitly via env:
+        #   SR3_COORDINATOR=host:port SR3_NUM_PROCESSES=N SR3_PROCESS_ID=i
+        kwargs = {}
+        if os.environ.get("SR3_COORDINATOR"):
+            kwargs = dict(
+                coordinator_address=os.environ["SR3_COORDINATOR"],
+                num_processes=int(os.environ["SR3_NUM_PROCESSES"]),
+                process_id=int(os.environ["SR3_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
 
     prng = os.environ.get("SR3_PRNG")
     if prng:

@@ -1,0 +1,95 @@
+"""Worker process for the REAL two-process multi-host test.
+
+Launched by tests/test_multihost.py as two separate Python processes that
+rendezvous through ``jax.distributed.initialize`` (via setup_runtime's
+SR3_MULTIHOST + SR3_COORDINATOR env path — the exact code path a two-node
+TPU launch takes), each exposing 4 local CPU devices for a global 8-device
+data mesh. Runs one sharded train step on a per-process half of a fixed
+global batch and reports the loss + its loader shard as one JSON line.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    from sr3_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()  # SR3_PLATFORM=cpu + jax.distributed.initialize(...)
+
+    import jax
+    import numpy as np
+
+    pi, pc = jax.process_index(), jax.process_count()
+
+    from sr3_tpu.data.loader import DataLoader
+    from sr3_tpu.parallel.mesh import create_mesh
+    from sr3_tpu.training.trainer import Trainer
+    from sr3_tpu.utils.config import dict_to_nonedict
+
+    ckpt_dir = os.environ["SR3_TEST_CKPT_DIR"]
+    opt = dict_to_nonedict({
+        "phase": "train",
+        "seed": 0,
+        "path": {"checkpoint": ckpt_dir, "resume_state": None},
+        "datasets": {},
+        "model": {
+            "which_model_G": "sr3",
+            "finetune_norm": False,
+            "dtype": "float32",
+            "unet": {
+                "in_channel": 6, "out_channel": 3, "inner_channel": 8,
+                "norm_groups": 4, "channel_multiplier": [1, 2],
+                "attn_res": [8], "res_blocks": 1, "dropout": 0.0,
+            },
+            "beta_schedule": {
+                "train": {"schedule": "linear", "n_timestep": 10,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+            },
+            "diffusion": {"image_size": 16, "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": 2, "optimizer": {"type": "adam", "lr": 1e-3}},
+    })
+
+    mesh = create_mesh()  # all 8 global devices on the 'data' axis
+    t = Trainer(opt, mesh=mesh)
+    t.set_new_noise_schedule(opt["model"]["beta_schedule"]["train"], "train")
+
+    # fixed global batch; each process feeds only its contiguous half —
+    # shard_batch assembles the global array from process-local shards
+    rng = np.random.default_rng(0)
+    hr = rng.standard_normal((8, 16, 16, 3)).astype(np.float32) * 0.5
+    sr = rng.standard_normal((8, 16, 16, 3)).astype(np.float32) * 0.5
+    lo, hi = pi * 4, (pi + 1) * 4
+    t.feed_data({"HR": hr[lo:hi], "SR": sr[lo:hi]})
+    t.optimize_parameters()
+    loss = float(np.asarray(jax.device_get(t.log_dict["l_pix"])))
+
+    # the loader's per-process epoch shard, with process_count()==2 for real
+    class Toy:
+        min_max = (-1, 1)
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"HR": np.full((2, 2, 3), i, np.float32), "Index": i}
+
+    loader = DataLoader(Toy(), batch_size=2, shuffle=True, seed=7,
+                        use_native=False, num_workers=0)
+    indices = [int(i) for b in loader for i in b["Index"]]
+
+    print(json.dumps({
+        "process": pi,
+        "process_count": pc,
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "loss": loss,
+        "indices": indices,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
