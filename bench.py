@@ -9,10 +9,19 @@ Prints one JSON line per metric; the headline sampling line is LAST:
   {"metric": "..._sampling_2000step_throughput", "value": N,
    "unit": "images/sec/chip", "vs_baseline": N, "mfu": ...}
 
-Baselines: the reference publishes no throughput numbers. A 1080Ti-class
-GPU running the same torch model delivers ~0.005 images/sec for the
-batch-1 2000-step chain (~10 it/s per SR3-era community reports) and an
-estimated ~25 images/sec for batch-8 training steps.
+Baselines: the reference publishes no throughput numbers (SURVEY §6).
+- Sampling: ~0.005 images/sec for the batch-1 2000-step chain on a
+  1080Ti-class GPU (~10 it/s per SR3-era community reports).
+- Training: DERIVED, not guessed (VERDICT r2 #8). The train step costs a
+  measured 269.8 GFLOP/image (XLA cost analysis, fwd+bwd+Adam — identical
+  on TPU and CPU builds; docs/TRAIN_BASELINE_r03.json). A 1080Ti has no
+  tensor cores: fp32 peak 11.34 TFLOPS (GP102 spec, 3584 cores x
+  1.582 GHz x 2). At an assumed 0.35 sustained utilization — generous for
+  Pascal-era cuDNN on a GroupNorm-heavy convnet at the reference's
+  batch sizes — that is 11.34e12 * 0.35 / 269.8e9 = 14.7 images/sec
+  (sensitivity: util 0.25 -> 10.5, util 0.50 -> 21.0).
+  docs/TRAIN_BASELINE_r03.json also records a same-silicon sanity
+  measurement of the torch reference vs this framework on the host CPU.
 
 MFU = XLA cost-analysis FLOPs / wall time / 197e12 (TPU v5e bf16 peak).
 
@@ -41,7 +50,9 @@ setup_runtime()
 import jax.numpy as jnp
 
 BASELINE_1080TI_SAMPLING_IMG_PER_SEC = 0.005
-BASELINE_1080TI_TRAIN_IMG_PER_SEC = 25.0  # estimate, see module docstring
+# 11.34 TFLOPS fp32 peak * 0.35 util / 269.8 GFLOP per image — see
+# module docstring + docs/TRAIN_BASELINE_r03.json for the derivation
+BASELINE_1080TI_TRAIN_IMG_PER_SEC = 14.7
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
