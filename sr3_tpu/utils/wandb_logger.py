@@ -1,4 +1,11 @@
-"""Weights & Biases logging (optional; reference core/wandb_logger.py).
+"""Weights & Biases observability sink (optional).
+
+Public surface kept compatible with the reference's WandbLogger class
+(core/wandb_logger.py:3-117) — same constructor/options and method names,
+since the drivers and W&B dashboards are written against it — but the
+internals are organized as one generic table/media sink instead of the
+reference's per-table method bodies, and checkpoint artifacts upload orbax
+checkpoint *directories* rather than .pth files.
 
 wandb is not a hard dependency: constructing WandbLogger raises a clear
 error if the package is missing, and all drivers gate on -enable_wandb.
@@ -6,10 +13,17 @@ error if the package is missing, and all drivers gate on -enable_wandb.
 
 from __future__ import annotations
 
+import os
+
+# table schemas: kind -> (config gate, column names; image columns first)
+_TABLE_SPECS = {
+    "eval": ("log_eval", ("fake_image", "sr_image", "hr_image",
+                          "psnr", "ssim")),
+    "infer": ("log_infer", ("fake_image", "sr_image", "hr_image")),
+}
+
 
 class WandbLogger:
-    """Mirror of the reference logger (core/wandb_logger.py:3-117)."""
-
     def __init__(self, opt):
         try:
             import wandb
@@ -18,74 +32,65 @@ class WandbLogger:
                 "wandb is not installed; run without -enable_wandb"
             ) from e
         self._wandb = wandb
-        if self._wandb.run is None:
-            self._wandb.init(
-                project=opt["wandb"]["project"],
-                config=dict(opt),
-                dir="./experiments",
-            )
-        self.config = self._wandb.config
-        if self.config.get("log_eval", None):
-            self.eval_table = self._wandb.Table(
-                columns=["fake_image", "sr_image", "hr_image", "psnr", "ssim"]
-            )
-        else:
-            self.eval_table = None
-        if self.config.get("log_infer", None):
-            self.infer_table = self._wandb.Table(
-                columns=["fake_image", "sr_image", "hr_image"]
-            )
-        else:
-            self.infer_table = None
+        if wandb.run is None:
+            wandb.init(project=opt["wandb"]["project"], config=dict(opt),
+                       dir="./experiments")
+        self.config = wandb.config
+        self._tables = {
+            kind: wandb.Table(columns=list(cols))
+            for kind, (gate, cols) in _TABLE_SPECS.items()
+            if self.config.get(gate, None)
+        }
+
+    # -------------------------------------------------- scalars and media
+
+    def _img(self, x):
+        return self._wandb.Image(x)
 
     def log_metrics(self, metrics, commit=True):
         self._wandb.log(metrics, commit=commit)
 
     def log_image(self, key_name, image_array):
-        self._wandb.log({key_name: self._wandb.Image(image_array)})
+        self._wandb.log({key_name: self._img(image_array)})
 
     def log_images(self, key_name, list_images):
-        self._wandb.log(
-            {key_name: [self._wandb.Image(img) for img in list_images]}
-        )
+        self._wandb.log({key_name: [self._img(x) for x in list_images]})
+
+    # ------------------------------------------------------------- tables
+
+    def log_eval_data(self, fake_img, sr_img, hr_img, psnr=None, ssim=None):
+        """Row into the eval table (with metrics) or infer table (without),
+        matching the reference's two-mode method."""
+        imgs = [self._img(x) for x in (fake_img, sr_img, hr_img)]
+        if psnr is not None and ssim is not None:
+            self._tables["eval"].add_data(*imgs, psnr, ssim)
+        else:
+            self._tables["infer"].add_data(*imgs)
+
+    def log_eval_table(self, commit=False):
+        for kind in ("eval", "infer"):
+            t = self._tables.get(kind)
+            if t is not None:
+                self._wandb.log({f"{kind}_data": t}, commit=commit)
+                return
+
+    # --------------------------------------------------------- checkpoints
 
     def log_checkpoint(self, current_epoch, current_step):
-        model_artifact = self._wandb.Artifact(
-            self._wandb.run.id + "_model", type="model", metadata={
-                "epoch": current_epoch, "iter": current_step,
-            },
+        """Mirror the on-disk orbax checkpoint pair (I{iter}_E{epoch}_gen /
+        _opt directories) as one W&B model artifact."""
+        art = self._wandb.Artifact(
+            self._wandb.run.id + "_model", type="model",
+            metadata={"epoch": current_epoch, "iter": current_step},
         )
-        import os
-
         ckpt_dir = self.config["path"]["checkpoint"]
         prefix = f"I{current_step}_E{current_epoch}"
         for name in os.listdir(ckpt_dir):
-            if name.startswith(prefix):
-                full = os.path.join(ckpt_dir, name)
-                if os.path.isdir(full):
-                    model_artifact.add_dir(full, name=name)
-                else:
-                    model_artifact.add_file(full)
-        self._wandb.log_artifact(model_artifact, aliases=["latest"])
-
-    def log_eval_data(self, fake_img, sr_img, hr_img, psnr=None, ssim=None):
-        if psnr is not None and ssim is not None:
-            self.eval_table.add_data(
-                self._wandb.Image(fake_img),
-                self._wandb.Image(sr_img),
-                self._wandb.Image(hr_img),
-                psnr,
-                ssim,
-            )
-        else:
-            self.infer_table.add_data(
-                self._wandb.Image(fake_img),
-                self._wandb.Image(sr_img),
-                self._wandb.Image(hr_img),
-            )
-
-    def log_eval_table(self, commit=False):
-        if self.eval_table:
-            self._wandb.log({"eval_data": self.eval_table}, commit=commit)
-        elif self.infer_table:
-            self._wandb.log({"infer_data": self.infer_table}, commit=commit)
+            if not name.startswith(prefix):
+                continue
+            full = os.path.join(ckpt_dir, name)
+            if os.path.isdir(full):
+                art.add_dir(full, name=name)
+            else:
+                art.add_file(full)
+        self._wandb.log_artifact(art, aliases=["latest"])
