@@ -25,6 +25,14 @@ Baselines: the reference publishes no throughput numbers (SURVEY §6).
 
 MFU = XLA cost-analysis FLOPs / wall time / 197e12 (TPU v5e bf16 peak).
 
+Train-step roofline (docs/TRAINSCAN_r03.txt, round 3): at batch 16 the
+step moves 44.5 GB (cost analysis) in ~56 ms = 0.97x of the 819 GB/s v5e
+HBM roofline — ~0.39 MFU IS the roofline for this model (f32 master
+weights + Adam, dropout masks per reference semantics). Full remat was
+measured and INCREASES both bytes (50.2 GB) and time (67 ms): XLA's
+saved-activation schedule is already optimal. Larger batches plateau at
+the same img/s (b32: 286 img/s at 0.81x HBM).
+
 Bench batches are the measured throughput knees of the v5e batch sweep
 (tools/perfscan.py, docs/PERFSCAN_r02.txt): sampling saturates at batch 8
 (0.518 img/s; batch 16/32 plateau slightly lower), training at batch 16
@@ -92,14 +100,20 @@ def bench_train(diffusion, params, sched, res, batch, iters):
     compiled = jstep.lower(p, o, data, k).compile()
     flops = _flops(compiled)
 
-    p, o, loss = compiled(p, o, data, k)  # first exec (slow one-time on axon)
+    # pre-make per-iter keys OUTSIDE the timed loop: varying an input per
+    # repeat defeats any upstream dispatch caching on the tunneled chip
+    # (identical repeated dispatches can be served from a cache), without
+    # charging host key construction to the step time
+    keys = [jax.random.PRNGKey(100 + i) for i in range(iters + 2)]
+
+    p, o, loss = compiled(p, o, data, keys[0])  # first exec (slow on axon)
     jax.block_until_ready(loss)
-    p, o, loss = compiled(p, o, data, k)  # warmup steady state
+    p, o, loss = compiled(p, o, data, keys[1])  # warmup steady state
     jax.block_until_ready(loss)
 
     t0 = time.time()
-    for _ in range(iters):
-        p, o, loss = compiled(p, o, data, k)
+    for i in range(iters):
+        p, o, loss = compiled(p, o, data, keys[2 + i])
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / iters
 
