@@ -56,6 +56,7 @@ from sr3_tpu.utils.runtime import setup_runtime
 setup_runtime()
 
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_1080TI_SAMPLING_IMG_PER_SEC = 0.005
 # 11.34 TFLOPS fp32 peak * 0.35 util / 269.8 GFLOP per image — see
@@ -80,9 +81,12 @@ def bench_train(diffusion, params, sched, res, batch, iters):
 
     tx = optax.adam(1e-4)
 
-    def step(p, o, batch, k):
+    def step(p, o, s, batch, k):
+        # s (the Schedule pytree) is an argument, not a closure: closed-over
+        # schedule arrays become HLO literal constants and lowering slows
+        # by two orders of magnitude at T=2000
         loss, g = jax.value_and_grad(
-            lambda q: diffusion.p_losses(q, sched, batch, k, train=True)
+            lambda q: diffusion.p_losses(q, s, batch, k, train=True)
         )(p)
         up, o = tx.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
@@ -95,9 +99,13 @@ def bench_train(diffusion, params, sched, res, batch, iters):
     k = jax.random.PRNGKey(0)
     p = jax.tree_util.tree_map(jnp.array, params)
     o = tx.init(p)
+    # device-resident schedule: re-transferring the host arrays every call
+    # lets the tunneled runtime report readiness before the chained donated
+    # steps actually finish (observed: impossible 4.5 ms/step, MFU 4.8)
+    sched = jax.device_put(sched)
 
     # AOT-compile once and call the compiled object (avoids a second trace)
-    compiled = jstep.lower(p, o, data, k).compile()
+    compiled = jstep.lower(p, o, sched, data, k).compile()
     flops = _flops(compiled)
 
     # pre-make per-iter keys OUTSIDE the timed loop: varying an input per
@@ -106,15 +114,20 @@ def bench_train(diffusion, params, sched, res, batch, iters):
     # charging host key construction to the step time
     keys = [jax.random.PRNGKey(100 + i) for i in range(iters + 2)]
 
-    p, o, loss = compiled(p, o, data, keys[0])  # first exec (slow on axon)
-    jax.block_until_ready(loss)
-    p, o, loss = compiled(p, o, data, keys[1])  # warmup steady state
-    jax.block_until_ready(loss)
+    def sync(x):
+        # through the tunnel, block_until_ready on a donated chain can
+        # return before the work finishes; materializing the value cannot
+        return float(np.asarray(jax.device_get(x)))
+
+    p, o, loss = compiled(p, o, sched, data, keys[0])  # first exec
+    sync(loss)
+    p, o, loss = compiled(p, o, sched, data, keys[1])  # warmup steady state
+    sync(loss)
 
     t0 = time.time()
     for i in range(iters):
-        p, o, loss = compiled(p, o, data, keys[2 + i])
-    jax.block_until_ready(loss)
+        p, o, loss = compiled(p, o, sched, data, keys[2 + i])
+    sync(loss)
     dt = (time.time() - t0) / iters
 
     mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else None
@@ -175,30 +188,34 @@ def main():
             lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params
         )
     x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
+    sched = jax.device_put(sched)  # see bench_train: no per-call transfers
+    # sched is passed as an ARGUMENT, never closed over: closure embeds the
+    # schedule arrays as HLO constants and the T=2000 literals blow
+    # trace+lower up from ~1 s to ~212 s (measured; docs/TRAINSCAN_r03.txt)
     fn = jax.jit(
-        lambda p, x, k: diffusion.super_resolution(p, sched, x, k, False)
+        lambda p, s, x, k: diffusion.super_resolution(p, s, x, k, False)
     )
-    compiled = fn.lower(params, x_sr, jax.random.PRNGKey(1)).compile()
+    compiled = fn.lower(params, sched, x_sr, jax.random.PRNGKey(1)).compile()
     # cost analysis counts the lax.scan body ONCE — measure one reverse step
     # explicitly and scale by the step count
     one_step = jax.jit(
-        lambda p, img, k: diffusion.p_sample_step(
-            p, sched, img, jnp.int32(steps // 2), k, x_sr
+        lambda p, s, img, k: diffusion.p_sample_step(
+            p, s, img, jnp.int32(steps // 2), k, x_sr
         )
     )
     step_flops = _flops(
-        one_step.lower(params, x_sr, jax.random.PRNGKey(0)).compile()
+        one_step.lower(params, sched, x_sr, jax.random.PRNGKey(0)).compile()
     )
     chain_flops = step_flops * steps if step_flops else None
 
     t0 = time.time()
-    out = compiled(params, x_sr, jax.random.PRNGKey(1))
+    out = compiled(params, sched, x_sr, jax.random.PRNGKey(1))
     out.block_until_ready()
     print(f"# first sampling run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for i in range(repeats):
-        out = compiled(params, x_sr, jax.random.PRNGKey(2 + i))
+        out = compiled(params, sched, x_sr, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
     dt = (time.time() - t0) / repeats
 

@@ -65,14 +65,21 @@ def define_G(opt) -> GaussianDiffusion:
 
 
 def init_params(diffusion: GaussianDiffusion, rng):
-    """Initialize UNet params with a dummy batch (static shapes)."""
+    """Initialize UNet params with a dummy batch (static shapes).
+
+    The init is wrapped in jax.jit: un-jitted flax init executes each
+    initializer as its own dispatch — hundreds of tunnel round-trips on a
+    remote chip (measured 280 s for the 97.8M flagship, vs ~30 s compiled
+    once and ~2 s from the persistent compile cache thereafter)."""
     unet = diffusion.denoise_fn
     x = jnp.zeros(
         (1, diffusion.image_size, diffusion.image_size, unet.in_channel),
         jnp.float32,
     )
     cond = jnp.ones((1,), jnp.float32)
-    return unet.init({"params": rng}, x, cond, train=False)
+    return jax.jit(
+        lambda r: unet.init({"params": r}, x, cond, train=False)
+    )(rng)
 
 
 def count_params(params) -> int:

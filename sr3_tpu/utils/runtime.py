@@ -43,3 +43,17 @@ def setup_runtime():
         jax.config.update("jax_default_prng_impl", prng)
     elif jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
+
+    # Persistent XLA compilation cache: first compiles of the big programs
+    # (2000-step chain, fused K-step train scan) take minutes on a tunneled
+    # chip; subsequent process launches reload them in seconds. On by
+    # default on TPU; override the location with SR3_COMPILE_CACHE, or
+    # disable with SR3_COMPILE_CACHE=0.
+    cache = os.environ.get("SR3_COMPILE_CACHE")
+    if cache != "0":
+        if not cache and jax.default_backend() == "tpu":
+            cache = os.path.expanduser("~/.cache/sr3_tpu/xla")
+        if cache:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
