@@ -113,6 +113,14 @@ class GaussianDiffusion:
         self.loss_type = loss_type
         self.conditional = conditional
         self.cond_mode = cond_mode
+        # optional activation-sharding hook (parallel/spatial.py): pins the
+        # reverse-chain carry / training image to a spatially sharded layout
+        # so GSPMD keeps H distributed at beyond-single-chip resolutions.
+        # None (default) is the identity.
+        self.shard_activations = None
+
+    def _constrain(self, x):
+        return self.shard_activations(x) if self.shard_activations else x
 
     # ------------------------------------------------------------------ loss
 
@@ -142,6 +150,7 @@ class GaussianDiffusion:
             net_in = jnp.concatenate([batch["SR"], x_noisy], axis=-1)
         else:
             net_in = x_noisy
+        net_in = self._constrain(net_in)
 
         rngs = {"dropout": key_d} if train else None
         pred = self.denoise_fn.apply(
@@ -166,6 +175,7 @@ class GaussianDiffusion:
         sr3_modules/diffusion.py:141-174). ``t`` may be a traced scalar.
         ``noise`` overrides the on-device draw (parity-test seam: lets an
         externally drawn stream flow through the exact production math)."""
+        img = self._constrain(img)
         b = img.shape[0]
         if self.cond_mode == "sr3":
             lvl = jnp.broadcast_to(
@@ -282,7 +292,7 @@ class GaussianDiffusion:
             return (img, key), None
 
         (img, _), _ = jax.lax.scan(step, (img0, key_chain), xs)
-        return img
+        return self._constrain(img)
 
     def ddim_sample_loop(self, params, sched: Schedule, x_in, rng,
                          n_steps: int = 50, eta: float = 0.0,
@@ -337,6 +347,7 @@ class GaussianDiffusion:
         n_snap, inter = _snapshot_count(S)
 
         def eps_fn(img, t):
+            img = self._constrain(img)
             if self.cond_mode == "sr3":
                 lvl = jnp.broadcast_to(
                     sched.sqrt_alphas_cumprod_prev[t + 1], (b,)
@@ -396,7 +407,7 @@ class GaussianDiffusion:
             return (img, key), None
 
         (img, _), _ = jax.lax.scan(step, (img0, key_chain), xs)
-        return img
+        return self._constrain(img)
 
     def sample(self, params, sched, rng, batch_size=1, continuous=False):
         """Unconditional generation (reference sr3_modules/diffusion.py:202-206)."""

@@ -22,17 +22,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(num_data: Optional[int] = None, num_model: int = 1,
-                devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'model') mesh. Defaults to all visible devices on the
-    data axis (the reference's `gpu_ids` analog selects num_data)."""
+                devices: Optional[Sequence] = None,
+                num_space: int = 1) -> Mesh:
+    """Build a ('data', 'model', 'space') mesh. Defaults to all visible
+    devices on the data axis (the reference's `gpu_ids` analog selects
+    num_data). 'model' shards conv/dense channels (sharding_rules.py);
+    'space' shards the activation H dimension for resolutions whose
+    reverse-chain activations exceed one chip (parallel/spatial.py)."""
     if devices is None:
         devices = jax.devices()
     if num_data is None:
-        num_data = len(devices) // num_model
-    devices = np.asarray(devices[: num_data * num_model]).reshape(
-        num_data, num_model
+        num_data = len(devices) // (num_model * num_space)
+    devices = np.asarray(devices[: num_data * num_model * num_space]).reshape(
+        num_data, num_model, num_space
     )
-    return Mesh(devices, ("data", "model"))
+    return Mesh(devices, ("data", "model", "space"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -64,12 +64,19 @@ class Trainer:
         self.opt = opt
         self.diffusion: GaussianDiffusion = define_G(opt)
         if mesh is None:
-            # optional config block: "parallel": {"data": N, "model": M}
+            # optional config block:
+            # "parallel": {"data": N, "model": M, "space": S}
             par = opt.get("parallel") or {}
             mesh = create_mesh(
-                num_data=par.get("data"), num_model=par.get("model", 1) or 1
+                num_data=par.get("data"), num_model=par.get("model", 1) or 1,
+                num_space=par.get("space", 1) or 1,
             )
         self.mesh = mesh
+        if self.mesh.shape.get("space", 1) > 1:
+            # pin activations to H-sharded layout (parallel/spatial.py)
+            from sr3_tpu.parallel.spatial import spatial_constraint
+
+            self.diffusion.shard_activations = spatial_constraint(self.mesh)
         self.conditional = self.diffusion.conditional
         self.phase = opt.get("phase", "train")
 
