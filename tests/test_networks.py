@@ -28,7 +28,8 @@ def _load(name):
 
 @pytest.mark.parametrize("name", [
     "sr_sr3_16_128.json", "sr_ddpm_16_128.json", "sr_sr3_64_512.json",
-    "sr_sr3_64_512_attn.json", "sample_sr3_128.json", "sample_ddpm_128.json",
+    "sr_sr3_64_512_attn.json", "sr_sr3_128_1024.json",
+    "sample_sr3_128.json", "sample_ddpm_128.json",
 ])
 def test_config_builds_and_runs(name):
     opt = _load(name)
