@@ -67,8 +67,10 @@ def gn_silu_conv3x3_xla(x, gn_scale, gn_bias, kernel, bias, num_groups,
     b, h, w, c = x.shape
     cg = c // num_groups
     xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
+    # one-pass sum/sumsq stats (see ops/groupnorm.py group_norm_swish_xla)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    msq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(b, h, w, c) * gn_scale.astype(jnp.float32) \
         + gn_bias.astype(jnp.float32)

@@ -21,12 +21,24 @@ from jax.experimental import pallas as pl
 
 
 def group_norm_swish_xla(x, scale, bias, num_groups, eps=1e-5, swish=True):
-    """x: (B,H,W,C). scale/bias: (C,). Returns same shape/dtype as x."""
+    """x: (B,H,W,C). scale/bias: (C,). Returns same shape/dtype as x.
+
+    Stats use the one-pass sum/sum-of-squares formulation: ``mean`` and
+    ``E[x^2]`` are independent reduces over the same input, so XLA
+    multi-output-fuses them into a single traversal of the activation. The
+    textbook two-pass form (``var = mean((x - mean)^2)``) makes the second
+    reduce *depend* on the first, forcing two full HBM passes — at 512^2
+    the stat passes were ~38% of the sampling step (docs/PROF512_r03.txt).
+    Cancellation risk is negligible here: inputs are bf16-quantized
+    (~3 significant digits) while the f32 accumulator carries ~7, and GN
+    input statistics keep |mean|/std moderate (checked by the torch-parity
+    tests at atol 2e-4)."""
     b, h, w, c = x.shape
     cg = c // num_groups
     xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    msq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(b, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if swish:
@@ -35,6 +47,188 @@ def group_norm_swish_xla(x, scale, bias, num_groups, eps=1e-5, swish=True):
 
 
 _HW_CHUNK = 1024
+
+
+# ------------------------------------------------------- stats-only kernel
+#
+# At >=256^2 feature maps XLA's GN stat reduces run 4-20x above their read
+# floor (docs/GNEXP_r03.txt): the (N sublane, C lane) activation layout at
+# C=64 half-fills the lanes and the f32-convert reduce over the major (H,W)
+# dims schedules poorly (docs/PROF512_r03.txt — the convert_reduce_fusion
+# family is ~38% of the 512^2 sampling step). This kernel computes ONLY the
+# per-(batch, channel) sum and sum-of-squares, HW-blocked so VMEM holds one
+# block at a time; the normalize stays in XLA where it fuses into the
+# surrounding conv/cast chains. The input is presented as a logical
+# (H, W, B, C) transpose: XLA's chosen activation layout is typically
+# {3,0,2,1} (physical order H, W, N, C), so the transpose to a row-major
+# consumer is a bitcast, not a copy.
+
+def _gn_stats_kernel(x_ref, s1_ref, s2_ref, *, chunked=False):
+    """x_ref: (block_h, W, B, C). Accumulates (B, C) f32 sums over grid.
+
+    chunked=True converts/accumulates one H row at a time instead of
+    materializing the whole block as an f32 temporary (an A/B variant for
+    VMEM-pressure effects; docs/GNEXP_r03.txt)."""
+    if chunked:
+        bh = x_ref.shape[0]
+
+        def body(i, carry):
+            a1, a2 = carry
+            xc = x_ref[i].astype(jnp.float32)  # (W, B, C)
+            return a1 + jnp.sum(xc, axis=0), a2 + jnp.sum(xc * xc, axis=0)
+
+        zero = jnp.zeros(x_ref.shape[2:], jnp.float32)
+        s1, s2 = jax.lax.fori_loop(0, bh, body, (zero, zero))
+    else:
+        xc = x_ref[...].astype(jnp.float32)
+        s1 = jnp.sum(xc, axis=(0, 1))
+        s2 = jnp.sum(xc * xc, axis=(0, 1))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s1_ref[...] = s1
+        s2_ref[...] = s2
+
+    @pl.when(pl.program_id(0) > 0)
+    def _acc():
+        s1_ref[...] += s1
+        s2_ref[...] += s2
+
+
+_STATS_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def _stats_block_h(h, w, b, c, itemsize, budget=None):
+    """Largest power-of-two divisor of h whose block fits the VMEM budget."""
+    budget = _STATS_BLOCK_BYTES if budget is None else budget
+    bh = 1
+    while (
+        bh * 2 <= h
+        and h % (bh * 2) == 0
+        and bh * 2 * w * b * c * itemsize <= budget
+    ):
+        bh *= 2
+    return bh
+
+
+def gn_stats_pallas(x, interpret=False, chunked=None, block_bytes=None):
+    """Per-(batch, channel) sum and sumsq of x:(B,H,W,C) in one HBM pass.
+
+    Returns (s1, s2), each f32 (B, C)."""
+    if chunked is None:
+        chunked = os.environ.get("SR3_GN_STATS_CHUNK") == "1"
+    if block_bytes is None:
+        block_bytes = int(
+            os.environ.get("SR3_GN_STATS_BLOCK", _STATS_BLOCK_BYTES))
+    b, h, w, c = x.shape
+    xt = jnp.transpose(x, (1, 2, 0, 3))  # layout-matching bitcast (see above)
+    bh = _stats_block_h(h, w, b, c, x.dtype.itemsize, budget=block_bytes)
+    s1, s2 = pl.pallas_call(
+        functools.partial(_gn_stats_kernel, chunked=chunked),
+        grid=(h // bh,),
+        in_specs=[pl.BlockSpec((bh, w, b, c), lambda i: (i, 0, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((b, c), lambda i: (0, 0)),
+            pl.BlockSpec((b, c), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt)
+    return s1, s2
+
+
+def _group_fold(s1, s2, n, num_groups, eps):
+    """(B,C) channel sums -> per-channel mean/rstd of the group stats."""
+    b, c = s1.shape
+    cg = c // num_groups
+    g1 = jnp.sum(s1.reshape(b, num_groups, cg), axis=2)
+    g2 = jnp.sum(s2.reshape(b, num_groups, cg), axis=2)
+    cnt = jnp.float32(n * cg)
+    mean_g = g1 / cnt
+    var_g = jnp.maximum(g2 / cnt - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=1)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)
+    return mean_c, rstd_c  # (B, C) each
+
+
+def _gn_swish_stats_fwd_bwd(num_groups, eps, swish, interpret):
+    """Pallas stats (one full-bandwidth HBM pass) + XLA normalize epilogue
+    (fuses into the surrounding conv/cast chains). Backward recomputes via
+    the same Pallas stats pass; the gradient reductions stay in XLA."""
+
+    def norm(x, scale, bias, mean_c, rstd_c):
+        xf = x.astype(jnp.float32)
+        sc = scale.astype(jnp.float32) * rstd_c[:, None, None, :]
+        off = bias.astype(jnp.float32) - mean_c[:, None, None, :] * sc
+        z = xf * sc + off
+        if swish:
+            z = z * jax.nn.sigmoid(z)
+        return z.astype(x.dtype)
+
+    @jax.custom_vjp
+    def f(x, scale, bias):
+        b, h, w, c = x.shape
+        s1, s2 = gn_stats_pallas(x, interpret=interpret)
+        mean_c, rstd_c = _group_fold(s1, s2, h * w, num_groups, eps)
+        return norm(x, scale, bias, mean_c, rstd_c)
+
+    def fwd(x, scale, bias):
+        return f(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        b, h, w, c = x.shape
+        cg = c // num_groups
+        s1, s2 = gn_stats_pallas(x, interpret=interpret)
+        mean_c, rstd_c = _group_fold(s1, s2, h * w, num_groups, eps)
+        xf = x.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        xhat = (xf - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+        sc = scale.astype(jnp.float32)
+        z = xhat * sc + bias.astype(jnp.float32)
+        if swish:
+            s = jax.nn.sigmoid(z)
+            dz = gf * (s * (1 + z * (1 - s)))
+        else:
+            dz = gf
+        dbias = jnp.sum(dz, axis=(0, 1, 2))
+        dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
+        dzg = (dz * sc).reshape(b, h * w, num_groups, cg)
+        xhg = xhat.reshape(b, h * w, num_groups, cg)
+        m1 = jnp.mean(dzg, axis=(1, 3), keepdims=True)
+        m2 = jnp.mean(dzg * xhg, axis=(1, 3), keepdims=True)
+        rs = rstd_c.reshape(b, 1, num_groups, cg)[:, :, :, :1]
+        dx = (rs * (dzg - m1 - xhg * m2)).reshape(b, h, w, c)
+        return dx.astype(x.dtype), dscale, dbias
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# The stats kernel targets the large-map regime (>=256^2) where XLA's GN
+# reduces run 4-20x above their read floor — but measured on v5e it LOSES
+# to the one-pass XLA formulation everywhere (docs/GNEXP_r03.txt: 3.6 vs
+# 2.2 ms at 512^2xC64, 9.4 vs 2.9 ms at 1024^2): the kernel is
+# VPU-compute-bound at the same 50% lane occupancy that hurts XLA, so one
+# full-bandwidth DMA pass doesn't pay for the unvectorized reduce. In-model
+# it was ~1.5% slower at 512^2 train and broke the 1024^2 train compile.
+# Opt-in via SR3_PALLAS_GN_STATS=1 for shapes where XLA's fusion regresses.
+_STATS_MIN_HW = 256 * 256
+
+# Under spatial ('space' axis) activation sharding a pallas_call would force
+# GSPMD to all-gather the H-sharded activation, defeating the sharding's
+# memory point; the Trainer disables the kernel for those meshes (the
+# decision is read at trace time).
+_STATS_KERNEL_ENABLED = True
+
+
+def set_stats_kernel_enabled(flag: bool):
+    global _STATS_KERNEL_ENABLED
+    _STATS_KERNEL_ENABLED = bool(flag)
 
 
 def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, swish):
@@ -141,7 +335,10 @@ def _gn_swish_fwd_bwd(num_groups, eps, swish, interpret):
         xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
         gf = g.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        # one-pass stats (see group_norm_swish_xla): mean and E[x^2] are
+        # independent reduces, so XLA fuses the recompute into one HBM pass
+        msq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+        var = jnp.maximum(msq - jnp.square(mean), 0.0)
         rstd = jax.lax.rsqrt(var + eps)
         xhat = ((xf - mean) * rstd).reshape(b, h, w, c)
         sc = scale.astype(jnp.float32)
@@ -178,9 +375,9 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
     ``SR3_PALLAS_GN=1`` for shapes where XLA's fusion falls apart.
     """
     b, h, w, c = x.shape
+    hw = h * w
     block_bytes = h * w * c * x.dtype.itemsize
     if use_pallas is None:
-        hw = h * w
         use_pallas = (
             os.environ.get("SR3_PALLAS_GN") == "1"
             and jax.default_backend() == "tpu"
@@ -191,6 +388,18 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
         )
     if use_pallas:
         return _gn_swish_fwd_bwd(num_groups, eps, swish, interpret)(
+            x, scale, bias
+        )
+    use_stats = (
+        _STATS_KERNEL_ENABLED
+        and os.environ.get("SR3_PALLAS_GN_STATS") == "1"
+        and jax.default_backend() == "tpu"
+        and hw >= _STATS_MIN_HW
+        and c % num_groups == 0
+        and (h & (h - 1)) == 0  # power-of-two H for the block divisor walk
+    )
+    if use_stats:
+        return _gn_swish_stats_fwd_bwd(num_groups, eps, swish, interpret)(
             x, scale, bias
         )
     return group_norm_swish_xla(x, scale, bias, num_groups, eps=eps, swish=swish)

@@ -75,8 +75,11 @@ class Trainer:
         if self.mesh.shape.get("space", 1) > 1:
             # pin activations to H-sharded layout (parallel/spatial.py)
             from sr3_tpu.parallel.spatial import spatial_constraint
+            from sr3_tpu.ops.groupnorm import set_stats_kernel_enabled
 
             self.diffusion.shard_activations = spatial_constraint(self.mesh)
+            # a pallas_call would make GSPMD gather the H-sharded activation
+            set_stats_kernel_enabled(False)
         self.conditional = self.diffusion.conditional
         self.phase = opt.get("phase", "train")
 

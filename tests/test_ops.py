@@ -112,6 +112,47 @@ def test_group_norm_pallas_vjp_no_swish(rng):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-3)
 
 
+@pytest.mark.parametrize("groups,c,swish", [(16, 64, True), (8, 128, False)])
+def test_group_norm_stats_kernel_matches_xla(rng, groups, c, swish):
+    """The stats-only Pallas path (one-HBM-pass sum/sumsq + XLA normalize;
+    default at >=256^2 maps on TPU) matches the XLA reference fwd+bwd."""
+    from sr3_tpu.ops.groupnorm import _gn_swish_stats_fwd_bwd
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, c), dtype=np.float32)) + 0.2
+    s = jnp.asarray(rng.standard_normal(c, dtype=np.float32)) * 0.1 + 1.0
+    b = jnp.asarray(rng.standard_normal(c, dtype=np.float32)) * 0.1
+    f = _gn_swish_stats_fwd_bwd(groups, 1e-5, swish, True)
+    ref = group_norm_swish_xla(x, s, b, groups, swish=swish)
+    np.testing.assert_allclose(
+        np.asarray(f(x, s, b)), np.asarray(ref), atol=1e-5)
+    gp = jax.grad(
+        lambda a, sc, bi: jnp.sum(f(a, sc, bi) ** 2), argnums=(0, 1, 2)
+    )(x, s, b)
+    gx = jax.grad(
+        lambda a, sc, bi: jnp.sum(
+            group_norm_swish_xla(a, sc, bi, groups, swish=swish) ** 2),
+        argnums=(0, 1, 2),
+    )(x, s, b)
+    for p, q in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=2e-3)
+
+
+def test_group_norm_stats_kernel_accumulates_blocks(rng, monkeypatch):
+    """H larger than one VMEM block: grid accumulation must cover all rows."""
+    from sr3_tpu.ops import groupnorm
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 4, 128), dtype=np.float32))
+    monkeypatch.setattr(groupnorm, "_STATS_BLOCK_BYTES", 16 * 1024)
+    assert groupnorm._stats_block_h(64, 4, 1, 128, 4) == 8
+    s1, s2 = groupnorm.gn_stats_pallas(x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(jnp.sum(x, axis=(1, 2))), rtol=1e-5,
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(jnp.sum(x * x, axis=(1, 2))), rtol=1e-5,
+        atol=1e-4)
+
+
 def test_flash_attention_vjp_matches_xla(rng):
     from sr3_tpu.ops.attention import self_attention
 
