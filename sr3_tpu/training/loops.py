@@ -14,6 +14,7 @@ optimizer steps run.
 from __future__ import annotations
 
 import logging
+import math
 
 from sr3_tpu.data.prefetch import device_prefetch
 
@@ -21,10 +22,34 @@ logger = logging.getLogger("base")
 
 
 def log_train_step(diffusion, current_epoch, current_step,
-                   tb_logger=None, wandb_logger=None):
+                   tb_logger=None, wandb_logger=None, nan_guard="raise"):
     """Print/TB/W&B the current training log dict
-    (reference sr.py:90-100)."""
+    (reference sr.py:90-100).
+
+    Divergence guard (beyond reference — it trains on through NaN): a
+    non-finite loss poisons the Adam moments and never recovers, so by
+    default the loop fails fast here instead of burning the rest of the
+    run. The check costs nothing extra: it reads the same materialized
+    log dict the print cadence already fetched (loss stays on-device
+    between print points). ``train.nan_guard``: "raise" (default),
+    "warn", or "off"."""
     logs = diffusion.get_current_log()
+    l_pix = logs.get("l_pix")
+    if (
+        nan_guard != "off"
+        and l_pix is not None
+        and not math.isfinite(l_pix)
+    ):
+        msg = (
+            "non-finite training loss l_pix={} at iter {:,d} (epoch {}) — "
+            "the optimizer state is likely poisoned; resume from the last "
+            "checkpoint with a lower lr / different seed. Set "
+            "train.nan_guard to \"warn\" or \"off\" to continue anyway."
+        ).format(l_pix, current_step, current_epoch)
+        if nan_guard == "warn":
+            logger.error(msg)
+        else:
+            raise FloatingPointError(msg)
     message = "<epoch:{:3d}, iter:{:8,d}> ".format(current_epoch, current_step)
     for k, v in logs.items():
         message += "{:s}: {:.4e} ".format(k, v)
@@ -47,6 +72,7 @@ def train_loop(diffusion, train_loader, opt, on_validate,
     current_epoch = diffusion.begin_epoch
     n_iter = opt["train"]["n_iter"]
     spd = int(opt["train"]["steps_per_dispatch"] or 1)
+    nan_guard = opt["train"].get("nan_guard") or "raise"
     log_wandb_ckpt = bool(wandb_logger and opt["log_wandb_ckpt"])
 
     if len(train_loader) == 0:
@@ -71,7 +97,7 @@ def train_loop(diffusion, train_loader, opt, on_validate,
 
         if crossed(opt["train"]["print_freq"]):
             log_train_step(diffusion, current_epoch, current_step,
-                           tb_logger, wandb_logger)
+                           tb_logger, wandb_logger, nan_guard=nan_guard)
         if crossed(opt["train"]["val_freq"]):
             on_validate(current_step, current_epoch)
         if crossed(opt["train"]["save_checkpoint_freq"]):

@@ -174,3 +174,42 @@ def test_device_resident_loop_branch():
     assert d.dispatches == [3, 3, 1]
     assert val_at == [3, 6]
     assert d.saves == [6]
+
+
+def test_nan_guard_raises_by_default():
+    """A non-finite loss aborts the run at the print cadence (the loop
+    would otherwise train on poisoned Adam moments to n_iter)."""
+    import pytest
+
+    class NanFake(FakeDiffusion):
+        def get_current_log(self):
+            return {"l_pix": float("nan")}
+
+    d = NanFake()
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train_loop(d, _loader(10), _opt(6, print_freq=2), lambda s, e: None)
+    assert d.steps_run == 2  # stopped at the first print crossing
+
+
+def test_nan_guard_warn_continues():
+    class InfFake(FakeDiffusion):
+        def get_current_log(self):
+            return {"l_pix": float("inf")}
+
+    d = InfFake()
+    opt = _opt(6, print_freq=2)
+    opt["train"]["nan_guard"] = "warn"
+    train_loop(d, _loader(10), opt, lambda s, e: None)
+    assert d.steps_run == 6
+
+
+def test_nan_guard_off():
+    class NanFake(FakeDiffusion):
+        def get_current_log(self):
+            return {"l_pix": float("nan")}
+
+    d = NanFake()
+    opt = _opt(4, print_freq=1)
+    opt["train"]["nan_guard"] = "off"
+    train_loop(d, _loader(10), opt, lambda s, e: None)
+    assert d.steps_run == 4
