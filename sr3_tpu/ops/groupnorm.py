@@ -177,14 +177,20 @@ def _gn_swish_stats_fwd_bwd(num_groups, eps, swish, interpret):
         return norm(x, scale, bias, mean_c, rstd_c)
 
     def fwd(x, scale, bias):
-        return f(x, scale, bias), (x, scale, bias)
-
-    def bwd(res, g):
-        x, scale, bias = res
         b, h, w, c = x.shape
-        cg = c // num_groups
         s1, s2 = gn_stats_pallas(x, interpret=interpret)
         mean_c, rstd_c = _group_fold(s1, s2, h * w, num_groups, eps)
+        # stash the tiny (B,C) stats so the backward skips a whole extra
+        # HBM traversal of the activation
+        return (
+            norm(x, scale, bias, mean_c, rstd_c),
+            (x, scale, bias, mean_c, rstd_c),
+        )
+
+    def bwd(res, g):
+        x, scale, bias, mean_c, rstd_c = res
+        b, h, w, c = x.shape
+        cg = c // num_groups
         xf = x.astype(jnp.float32)
         gf = g.astype(jnp.float32)
         xhat = (xf - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
@@ -221,8 +227,10 @@ _STATS_MIN_HW = 256 * 256
 
 # Under spatial ('space' axis) activation sharding a pallas_call would force
 # GSPMD to all-gather the H-sharded activation, defeating the sharding's
-# memory point; the Trainer disables the kernel for those meshes (the
-# decision is read at trace time).
+# memory point; the Trainer disables BOTH Pallas GN paths for space>1
+# meshes and re-enables them for space==1 (the flag is read at trace time,
+# so it tracks the most recently constructed Trainer — stages in one
+# process run sequentially).
 _STATS_KERNEL_ENABLED = True
 
 
@@ -379,7 +387,8 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
     block_bytes = h * w * c * x.dtype.itemsize
     if use_pallas is None:
         use_pallas = (
-            os.environ.get("SR3_PALLAS_GN") == "1"
+            _STATS_KERNEL_ENABLED  # both Pallas paths gather under 'space'
+            and os.environ.get("SR3_PALLAS_GN") == "1"
             and jax.default_backend() == "tpu"
             and block_bytes <= _VMEM_BLOCK_LIMIT
             and c % num_groups == 0

@@ -67,6 +67,17 @@ def run_stage(opt, images=None, n_samples=None, base_rng=None):
     stage; n_samples: count for an unconditional seed stage."""
     from sr3_tpu.training import create_model
 
+    conditional_pre = opt["model"]["diffusion"]["conditional"]
+    if not conditional_pre and (images is None and n_samples is None):
+        raise ValueError(
+            "unconditional stage '%s' needs n_samples" % opt.get("name")
+        )
+    if not opt["path"]["resume_state"]:
+        logger.warning(
+            "Cascade stage '%s' has no path.resume_state — sampling from "
+            "RANDOMLY INITIALIZED weights (outputs will be noise; fine for "
+            "smoke tests, wrong for real generation).", opt.get("name"),
+        )
     diffusion = create_model(opt)
     diffusion.set_new_noise_schedule(
         opt["model"]["beta_schedule"]["val"], schedule_phase="val"
@@ -101,6 +112,14 @@ def run_cascade(opts, n_samples=None, input_images=None, out_dir=None,
 
     Writes per-stage PNGs to out_dir ({stage}_{idx}_{res}.png; the last
     stage also as final_{idx}.png) when out_dir is set."""
+    if input_images is not None and opts and not (
+        opts[0]["model"]["diffusion"]["conditional"]
+    ):
+        raise ValueError(
+            "input images were provided but the first stage '%s' is "
+            "unconditional and would ignore them — drop -i, or start the "
+            "cascade with a conditional stage" % opts[0].get("name")
+        )
     images = input_images
     for k, opt in enumerate(opts):
         conditional = opt["model"]["diffusion"]["conditional"]

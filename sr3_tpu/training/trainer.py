@@ -72,14 +72,18 @@ class Trainer:
                 num_space=par.get("space", 1) or 1,
             )
         self.mesh = mesh
+        from sr3_tpu.ops.groupnorm import set_stats_kernel_enabled
+
         if self.mesh.shape.get("space", 1) > 1:
             # pin activations to H-sharded layout (parallel/spatial.py)
             from sr3_tpu.parallel.spatial import spatial_constraint
-            from sr3_tpu.ops.groupnorm import set_stats_kernel_enabled
 
             self.diffusion.shard_activations = spatial_constraint(self.mesh)
             # a pallas_call would make GSPMD gather the H-sharded activation
             set_stats_kernel_enabled(False)
+        else:
+            # re-enable for non-spatial stages later in the same process
+            set_stats_kernel_enabled(True)
         self.conditional = self.diffusion.conditional
         self.phase = opt.get("phase", "train")
 

@@ -115,7 +115,9 @@ def test_group_norm_pallas_vjp_no_swish(rng):
 @pytest.mark.parametrize("groups,c,swish", [(16, 64, True), (8, 128, False)])
 def test_group_norm_stats_kernel_matches_xla(rng, groups, c, swish):
     """The stats-only Pallas path (one-HBM-pass sum/sumsq + XLA normalize;
-    default at >=256^2 maps on TPU) matches the XLA reference fwd+bwd."""
+    opt-in via SR3_PALLAS_GN_STATS=1 — it measured slower than XLA's
+    one-pass fusion on v5e, docs/GNEXP_r03.txt) matches the XLA reference
+    fwd+bwd."""
     from sr3_tpu.ops.groupnorm import _gn_swish_stats_fwd_bwd
 
     x = jnp.asarray(rng.standard_normal((2, 16, 8, c), dtype=np.float32)) + 0.2

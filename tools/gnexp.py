@@ -130,10 +130,10 @@ def run_stats():
         x = jax.random.normal(
             jax.random.PRNGKey(0), shape, jnp.bfloat16) + 0.3
         bytes_floor = x.size * 2 / 819e9
+        m0, v0 = jax.jit(lambda a: stats_twopass(a, g))(x)
         for name, fn in variants:
             try:
                 m1, v1 = jax.jit(lambda a: fn(a, g))(x)
-                m0, v0 = jax.jit(lambda a: stats_twopass(a, g))(x)
                 err = float(jnp.max(jnp.abs(v1 - v0)))
                 dt = bench(lambda a: fn(a, g), (x,))
                 log(f"  {str(shape):24s} {name:15s} {dt*1e3:7.3f} ms "
