@@ -213,3 +213,76 @@ def test_nan_guard_off():
     opt["train"]["nan_guard"] = "off"
     train_loop(d, _loader(10), opt, lambda s, e: None)
     assert d.steps_run == 4
+
+
+def test_preemption_sigterm_checkpoints_and_stops():
+    """SIGTERM mid-run -> checkpoint at the next step boundary + clean stop
+    (GCE delivers SIGTERM ~30s before preempting a TPU VM)."""
+    import os
+    import signal
+
+    class PreemptFake(FakeDiffusion):
+        def optimize_parameters(self):
+            super().optimize_parameters()
+            if self.steps_run == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    before = signal.getsignal(signal.SIGTERM)
+    d = PreemptFake()
+    train_loop(d, _loader(10), _opt(10), lambda s, e: None)
+    assert d.steps_run == 3        # stopped at the boundary after the signal
+    assert d.saves == [3]          # preemption checkpoint written
+    assert signal.getsignal(signal.SIGTERM) is before  # handler restored
+
+
+def test_preemption_resident_path():
+    import os
+    import signal
+
+    class ResidentFake(FakeDiffusion):
+        loaded = None
+
+        def load_device_dataset(self, ds):
+            self.loaded = len(ds)
+
+        def optimize_parameters_resident(self, batch_size, k):
+            self.steps_run += k
+            self.dispatches.append(k)
+            if self.steps_run >= 4:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    class Loader:
+        batch_size = 2
+
+        def __init__(self):
+            self.dataset = [0] * 6
+
+        def __len__(self):
+            return 3
+
+    d = ResidentFake()
+    opt = _opt(10, spd=2)
+    opt["datasets"] = {"train": {"device_data": True}}
+    train_loop(d, Loader(), opt, lambda s, e: None)
+    assert d.steps_run == 4
+    assert d.saves == [4]
+
+
+def test_preemption_watch_disabled():
+    import signal
+
+    before = signal.getsignal(signal.SIGTERM)
+    d = FakeDiffusion()
+    opt = _opt(4)
+    opt["train"]["preempt_checkpoint"] = "off"
+
+    seen = []
+
+    def on_validate(s, e):
+        # with the watch off, the loop must not have swapped the handler
+        seen.append(signal.getsignal(signal.SIGTERM) is before)
+
+    opt["train"]["val_freq"] = 2
+    train_loop(d, _loader(10), opt, on_validate)
+    assert d.steps_run == 4
+    assert seen and all(seen)
