@@ -52,6 +52,8 @@ def load_input_images(path):
     files = sorted(
         f for f in os.listdir(path) if f.lower().endswith(exts)
     )
+    if not files:
+        raise ValueError(f"no images found in {path!r}")
     out = []
     for f in files:
         arr = np.asarray(Image.open(os.path.join(path, f)).convert("RGB"))
