@@ -81,12 +81,27 @@ def main():
                         use_native=False, num_workers=0)
     indices = [int(i) for b in loader for i in b["Index"]]
 
+    # spatial leg: the same step under a (data=4, space=2) mesh, with the
+    # 'space' devices SPANNING the two processes — proves the H-sharded
+    # activation path (halo exchanges + GN reductions via GSPMD) executes
+    # cross-process, not just on a single-process virtual mesh
+    # (tests/test_spatial.py). Loss is computed at the same initial params
+    # on the same global batch, so it must match the data-mesh loss.
+    mesh_sp = create_mesh(num_data=4, num_space=2)
+    t_sp = Trainer(opt, mesh=mesh_sp)
+    t_sp.set_new_noise_schedule(
+        opt["model"]["beta_schedule"]["train"], "train")
+    t_sp.feed_data({"HR": hr[lo:hi], "SR": sr[lo:hi]})
+    t_sp.optimize_parameters()
+    loss_spatial = float(np.asarray(jax.device_get(t_sp.log_dict["l_pix"])))
+
     print(json.dumps({
         "process": pi,
         "process_count": pc,
         "device_count": jax.device_count(),
         "local_device_count": jax.local_device_count(),
         "loss": loss,
+        "loss_spatial": loss_spatial,
         "indices": indices,
     }), flush=True)
 

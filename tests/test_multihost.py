@@ -55,7 +55,7 @@ def test_two_process_multihost_train_step(tmp_path):
         ))
     results = {}
     for p in procs:
-        out, err = p.communicate(timeout=280)
+        out, err = p.communicate(timeout=540)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
@@ -69,6 +69,13 @@ def test_two_process_multihost_train_step(tmp_path):
 
     # same compiled step, same global batch -> identical loss on both hosts
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], abs=1e-7)
+
+    # spatial (data=4, space=2) mesh spanning the two processes: the
+    # H-sharded step executes cross-process and GSPMD preserves numerics
+    assert results[0]["loss_spatial"] == pytest.approx(
+        results[1]["loss_spatial"], abs=1e-7)
+    assert results[0]["loss_spatial"] == pytest.approx(
+        results[0]["loss"], abs=1e-5)
 
     # loader epoch shards: disjoint, covering, deterministic split of the
     # identically-seeded global shuffle
