@@ -41,13 +41,54 @@ Bench batches are the measured throughput knees of the v5e batch sweep
 Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 2000),
 BENCH_REPEATS (default 1), BENCH_TRAIN_BATCH (default 16),
 BENCH_TRAIN_ITERS (default 10), BENCH_SKIP_TRAIN=1, BENCH_CONFIG,
-SR3_PLATFORM (force backend).
+SR3_PLATFORM (force backend), BENCH_INIT_TIMEOUT (default 300 s — abort
+with exit 3 if backend init hangs, e.g. a dead TPU tunnel).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _probe_backend(timeout_s):
+    """Fail fast (exit 3) if backend init hangs — a dead TPU tunnel blocks
+    the first jax backend touch forever with no output (measured: even
+    ``import jax.numpy`` hangs under the pinned axon platform), which reads
+    as a stalled bench. The probe is a SUBPROCESS canary running before this
+    module imports jax: the blocked PJRT init holds the GIL, so an
+    in-process watchdog can never fire. First contact through the tunnel can
+    legitimately take tens of seconds, so the default budget is generous
+    (BENCH_INIT_TIMEOUT, 300 s)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import os, jax\n"
+             "p = os.environ.get('SR3_PLATFORM')\n"
+             "if p: jax.config.update('jax_platforms', p)\n"
+             "import jax.numpy\n"
+             "jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"# bench: backend init did not complete within {timeout_s}s "
+            "(TPU tunnel down?) — aborting instead of hanging. "
+            "SR3_PLATFORM=cpu forces the CPU backend.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    if r.returncode != 0:
+        print(
+            "# bench: backend init failed:\n" + (r.stderr or "").strip(),
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
+if __name__ == "__main__":
+    _probe_backend(int(os.environ.get("BENCH_INIT_TIMEOUT", 300)))
 
 import jax
 
