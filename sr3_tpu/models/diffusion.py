@@ -294,6 +294,23 @@ class GaussianDiffusion:
         (img, _), _ = jax.lax.scan(step, (img0, key_chain), xs)
         return self._constrain(img)
 
+    def _eps_at(self, params, sched: Schedule, img, t, condition_x, b):
+        """eps prediction at timestep index t with the mode's conditioning
+        convention (continuous sqrt-gamma for sr3, integer t for ddpm) —
+        shared by the strided samplers (DDIM, DPM-Solver++)."""
+        img = self._constrain(img)
+        if self.cond_mode == "sr3":
+            lvl = jnp.broadcast_to(
+                sched.sqrt_alphas_cumprod_prev[t + 1], (b,)
+            ).astype(jnp.float32)
+        else:
+            lvl = jnp.broadcast_to(t, (b,)).astype(jnp.float32)
+        net_in = (
+            jnp.concatenate([condition_x, img], axis=-1)
+            if condition_x is not None else img
+        )
+        return self.denoise_fn.apply(params, net_in, lvl, train=False)
+
     def ddim_sample_loop(self, params, sched: Schedule, x_in, rng,
                          n_steps: int = 50, eta: float = 0.0,
                          continuous: bool = False,
@@ -347,18 +364,7 @@ class GaussianDiffusion:
         n_snap, inter = _snapshot_count(S)
 
         def eps_fn(img, t):
-            img = self._constrain(img)
-            if self.cond_mode == "sr3":
-                lvl = jnp.broadcast_to(
-                    sched.sqrt_alphas_cumprod_prev[t + 1], (b,)
-                ).astype(jnp.float32)
-            else:
-                lvl = jnp.broadcast_to(t, (b,)).astype(jnp.float32)
-            net_in = (
-                jnp.concatenate([condition_x, img], axis=-1)
-                if condition_x is not None else img
-            )
-            return self.denoise_fn.apply(params, net_in, lvl, train=False)
+            return self._eps_at(params, sched, img, t, condition_x, b)
 
         def ddim_step(img, t, ab, ab_prev, sig, dirc, key):
             eps = eps_fn(img, t)
@@ -407,6 +413,143 @@ class GaussianDiffusion:
             return (img, key), None
 
         (img, _), _ = jax.lax.scan(step, (img0, key_chain), xs)
+        return self._constrain(img)
+
+    def dpmpp_sample_loop(self, params, sched: Schedule, x_in, rng,
+                          n_steps: int = 25, eta: float = 0.0,
+                          continuous: bool = False,
+                          clip_denoised: bool = True):
+        """DPM-Solver++(2M) sampling (Lu et al. 2022, arXiv:2211.01095) —
+        a second-order multistep solver in data-prediction form, beyond
+        the reference's capabilities. Same trained eps-model, ~2-4x fewer
+        steps than DDIM at matched sample quality (order 2 vs order 1 in the
+        half-log-SNR step h).
+
+        ``eta`` selects the variant, mirroring the DDIM knob's semantics:
+        0 (default) = the probability-flow ODE solver, fully deterministic
+        given the initial noise; >0 = SDE-DPM-Solver++(2M), which re-injects
+        noise each step like the ancestral chain (the reverse SDE's
+        contraction corrects off-manifold drift; use eta=1 — intermediate
+        values scale the noise term below its SDE level and are heuristic).
+
+        One lax.scan; each step costs exactly one denoiser forward (the
+        second-order correction reuses the previous step's x0 prediction
+        from the carry). The final jump to the clean image runs first-order
+        (the 2M correction coefficient h/h_prev diverges as
+        lambda(abar->1) -> inf), standard lower-order-final practice."""
+        import numpy as np_
+
+        T = sched.num_timesteps
+        n_steps = min(n_steps, T)
+        tau = np_.unique(
+            np_.linspace(0, T - 1, n_steps).round().astype(np_.int64)
+        )
+        S = len(tau)
+
+        if self.conditional:
+            condition_x = x_in
+            shape = x_in.shape
+        else:
+            condition_x = None
+            shape = tuple(x_in)
+        b = shape[0]
+
+        # Per-step tables in sampling (descending-t) order. At loop index i
+        # the model is evaluated at tau_desc[i] and the state moves to
+        # tau_desc[i+1] (the clean image after the last step). With
+        # alpha = sqrt(abar), sigma = sqrt(1-abar),
+        # lambda = log(alpha/sigma), h_i = lambda_next - lambda_cur > 0:
+        #   x <- (sig_next/sig_cur) x + alpha_next (1 - e^{-h}) D
+        #   D  = x0_i + (h_i / (2 h_{i-1})) (x0_i - x0_{i-1})   [2M]
+        tau_desc = jnp.asarray(tau[::-1].copy(), jnp.int32)
+        abar_cur = sched.alphas_cumprod[tau_desc].astype(jnp.float32)
+        abar_next = jnp.concatenate(
+            [abar_cur[1:], jnp.ones((1,), jnp.float32)]
+        )
+        a_cur, s_cur = jnp.sqrt(abar_cur), jnp.sqrt(1.0 - abar_cur)
+        a_next = jnp.sqrt(abar_next)
+        s_next = jnp.sqrt(1.0 - abar_next)
+        lam_cur = jnp.log(a_cur) - jnp.log(s_cur)
+        # the final s_next is 0 (lambda -> inf); a finite stand-in keeps the
+        # arithmetic NaN-free and the last-step coefficients are then set to
+        # their exact sigma->0 limits below
+        lam_next = jnp.log(a_next) - jnp.log(jnp.maximum(s_next, 1e-20))
+        h = lam_next - lam_cur
+        h_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), h[:-1]])
+
+        if eta > 0.0:
+            # SDE-DPM-Solver++(2M): exponential-integrator discretization of
+            # the reverse SDE (same paper, eq. for sde-dpmsolver++)
+            c_lin = (s_next / s_cur) * jnp.exp(-h)
+            c_d = a_next * (1.0 - jnp.exp(-2.0 * h))
+            c_noise = (
+                eta * s_next * jnp.sqrt(1.0 - jnp.exp(-2.0 * h))
+            )
+        else:
+            c_lin = s_next / s_cur
+            c_d = a_next * (1.0 - jnp.exp(-h))
+            c_noise = jnp.zeros_like(c_lin)
+        c_d1 = 0.5 * c_d * (h / h_prev)
+        c_d1 = c_d1.at[0].set(0.0)   # no history at the first step
+        # final step, exact sigma_next=0 limit: x = x0 prediction,
+        # first-order (lower_order_final)
+        c_lin = c_lin.at[-1].set(0.0)
+        c_d = c_d.at[-1].set(1.0)
+        c_d1 = c_d1.at[-1].set(0.0)
+        c_noise = c_noise.at[-1].set(0.0)
+
+        key_init, key_chain = jax.random.split(rng)
+        img0 = jax.random.normal(key_init, shape, dtype=jnp.float32)
+
+        def solver_step(img, x0_prev, key, t, a, s, cl, cd, cd1, cn):
+            eps = self._eps_at(params, sched, img, t, condition_x, b)
+            x0 = (img - s * eps) / a
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            z = jax.random.normal(key, img.shape, dtype=jnp.float32)
+            img = cl * img + cd * x0 + cd1 * (x0 - x0_prev) + cn * z
+            return img, x0
+
+        xs = (tau_desc, a_cur, s_cur, c_lin, c_d, c_d1, c_noise)
+        n_snap, inter = _snapshot_count(S)
+
+        if continuous:
+            snaps0 = jnp.zeros((n_snap,) + shape, jnp.float32)
+
+            def step(carry, x):
+                img, x0_prev, key, snaps, i = carry
+                key, sub = jax.random.split(key)
+                img, x0 = solver_step(img, x0_prev, sub, *x)
+                write_idx = (n_snap - 1) - i // inter
+                snaps = jax.lax.cond(
+                    i % inter == 0,
+                    lambda s_: jax.lax.dynamic_update_slice(
+                        s_, img[None], (write_idx, 0, 0, 0, 0)
+                    ),
+                    lambda s_: s_,
+                    snaps,
+                )
+                return (img, x0, key, snaps, i - 1), None
+
+            (img, _, _, snaps, _), _ = jax.lax.scan(
+                step,
+                (img0, jnp.zeros(shape, jnp.float32), key_chain, snaps0,
+                 jnp.int32(S - 1)),
+                xs,
+            )
+            first = condition_x if self.conditional else img0
+            frames = jnp.concatenate([first[None], snaps], axis=0)
+            return frames.reshape((-1,) + shape[1:])
+
+        def step(carry, x):
+            img, x0_prev, key = carry
+            key, sub = jax.random.split(key)
+            img, x0 = solver_step(img, x0_prev, sub, *x)
+            return (img, x0, key), None
+
+        (img, _, _), _ = jax.lax.scan(
+            step, (img0, jnp.zeros(shape, jnp.float32), key_chain), xs
+        )
         return self._constrain(img)
 
     def sample(self, params, sched, rng, batch_size=1, continuous=False):

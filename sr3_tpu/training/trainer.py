@@ -461,14 +461,25 @@ class Trainer:
         """(params, sched, x_or_shape, key) -> reverse-chain output, per the
         configured sampler. Sampler selection from config (beyond the
         reference): set model.diffusion.sampler="ddim" (+ ddim_steps / eta)
-        to run the strided deterministic DDIM chain instead of full
-        ancestral DDPM."""
+        for the strided deterministic DDIM chain, or "dpm++" (+ sampler_steps,
+        default 25) for the second-order DPM-Solver++(2M) chain — ~2-4x fewer
+        steps than DDIM at matched quality."""
         diff_opt = (self.opt.get("model") or {}).get("diffusion") or {}
         sampler = diff_opt.get("sampler") or "ddpm"
-        ddim_steps = int(diff_opt.get("ddim_steps") or 50)
+        ddim_steps = int(
+            diff_opt.get("sampler_steps") or diff_opt.get("ddim_steps")
+            or (25 if sampler in ("dpm++", "dpmpp") else 50)
+        )
         eta = float(diff_opt.get("eta") or 0.0)
         diffusion = self.diffusion
-        if sampler == "ddim":
+        if sampler in ("dpm++", "dpmpp"):
+            chain = lambda p, sched, x_or_shape, k: (
+                diffusion.dpmpp_sample_loop(
+                    p, sched, x_or_shape, k,
+                    n_steps=ddim_steps, eta=eta, continuous=continuous,
+                )
+            )
+        elif sampler == "ddim":
             chain = lambda p, sched, x_or_shape, k: (
                 diffusion.ddim_sample_loop(
                     p, sched, x_or_shape, k,

@@ -350,3 +350,27 @@ def test_device_resident_batch_larger_than_dataset(tmp_path):
     t.optimize_parameters_resident(batch_size=8, k_steps=2)
     assert int(t.state.step) == 2
     assert np.isfinite(float(t.get_current_log()["l_pix"]))
+
+
+def test_sampler_config_routing(tmp_path):
+    """model.diffusion.sampler selects the reverse chain: dpm++ and ddim
+    produce valid images through the trainer's test() path and differ from
+    the ancestral chain (different integrators), while per-sampler jit
+    caches stay distinct."""
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    outs = {}
+    for sampler in ("ddpm", "ddim", "dpm++"):
+        opt = _opt(tmp_path)
+        opt["model"]["diffusion"]["sampler"] = sampler
+        opt["model"]["diffusion"]["sampler_steps"] = 4
+        t = Trainer(opt, mesh=create_mesh(num_data=1))
+        t.set_new_noise_schedule(
+            t.opt["model"]["beta_schedule"]["val"], "val")
+        t.feed_data(_batch())
+        t.test(continous=False)
+        sr = t.get_current_visuals()["SR"]
+        assert sr.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(sr)).all()
+        outs[sampler] = np.asarray(sr)
+    assert not np.allclose(outs["ddpm"], outs["dpm++"])
+    assert not np.allclose(outs["ddim"], outs["dpm++"])
