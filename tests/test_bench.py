@@ -44,6 +44,7 @@ def test_bench_emits_metrics_headline_last(tmp_path):
         "BENCH_REPEATS": "1",
         "BENCH_TRAIN_BATCH": "2",
         "BENCH_TRAIN_ITERS": "2",
+        "BENCH_DPMPP_STEPS": "4",
     }
     out = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, env=env,
@@ -51,9 +52,12 @@ def test_bench_emits_metrics_headline_last(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 2, out.stdout
+    assert len(lines) == 3, out.stdout
     metrics = [json.loads(l) for l in lines]
     assert metrics[0]["metric"] == "bench_tiny_train_step_throughput"
+    assert metrics[1]["metric"] == (
+        "bench_tiny_sampling_dpmpp4_matched_quality_throughput"
+    )
     # the headline (driver-recorded) line is LAST
     assert metrics[-1]["metric"] == "bench_tiny_sampling_2000step_throughput"
     for m in metrics:
