@@ -153,6 +153,87 @@ _SCHEDULE_BUFFERS = (
 )
 
 
+def flax_params_to_torch_state_dict(params, schedule_opt=None, **unet_config):
+    """Inverse of `torch_state_dict_to_flax`: export this framework's flax
+    params as a state_dict loadable by the reference with `strict=True`.
+
+    Emits exactly what the reference's `save_network` writes
+    (/root/reference/model/model.py:124-136 — the GaussianDiffusion
+    state_dict): every UNet parameter under a `denoise_fn.` prefix (layouts
+    transposed back to torch conventions), the ddpm TimeEmbedding `inv_freq`
+    buffer (ddpm_modules/unet.py:19-27), and — when `schedule_opt` is given —
+    the 12 schedule buffers `set_new_noise_schedule` registers
+    (sr3_modules/diffusion.py:110-139), recomputed from the schedule config
+    exactly as the reference does (float64 numpy, cast to float32).
+
+    Returns {key: np.ndarray}; pass through `torch.tensor` /
+    `torch.save` for an `I{iter}_E{epoch}_gen.pth` the reference loads as a
+    resume_state (val phase) or pretrained model.
+    """
+    tree = params.get("params", params)
+
+    def _leaf(path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+    for flax_path, torch_key, kind in build_key_map(**unet_config):
+        w = _leaf(flax_path)
+        if kind == "conv_w":  # (kh,kw,in,out) -> (out,in,kh,kw)
+            w = np.transpose(w, (3, 2, 0, 1))
+        elif kind == "linear_w":  # (in,out) -> (out,in)
+            w = np.transpose(w, (1, 0))
+        sd["denoise_fn." + torch_key] = np.ascontiguousarray(
+            w, dtype=np.float32
+        )
+
+    if unet_config.get("cond_mode", "sr3") == "ddpm":
+        dim = unet_config.get("inner_channel", 64)
+        sd["denoise_fn.time_mlp.0.inv_freq"] = np.exp(
+            np.arange(0, dim, 2, dtype=np.float32) * (-np.log(10000.0) / dim)
+        ).astype(np.float32)
+
+    if schedule_opt is not None:
+        from sr3_tpu.models.schedule import make_beta_schedule
+
+        betas = np.asarray(
+            make_beta_schedule(
+                schedule=schedule_opt["schedule"],
+                n_timestep=schedule_opt["n_timestep"],
+                linear_start=schedule_opt["linear_start"],
+                linear_end=schedule_opt["linear_end"],
+            ),
+            dtype=np.float64,
+        )
+        alphas = 1.0 - betas
+        cum = np.cumprod(alphas, axis=0)
+        cum_prev = np.append(1.0, cum[:-1])
+        post_var = betas * (1.0 - cum_prev) / (1.0 - cum)
+        buffers = {
+            "betas": betas,
+            "alphas_cumprod": cum,
+            "alphas_cumprod_prev": cum_prev,
+            "sqrt_alphas_cumprod": np.sqrt(cum),
+            "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - cum),
+            "log_one_minus_alphas_cumprod": np.log(1.0 - cum),
+            "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / cum),
+            "sqrt_recipm1_alphas_cumprod": np.sqrt(1.0 / cum - 1.0),
+            "posterior_variance": post_var,
+            "posterior_log_variance_clipped": np.log(
+                np.maximum(post_var, 1e-20)
+            ),
+            "posterior_mean_coef1": betas * np.sqrt(cum_prev) / (1.0 - cum),
+            "posterior_mean_coef2": (1.0 - cum_prev)
+            * np.sqrt(alphas)
+            / (1.0 - cum),
+        }
+        for k, v in buffers.items():
+            sd[k] = v.astype(np.float32)
+    return sd
+
+
 def torch_state_dict_to_flax(state_dict, **unet_config):
     """state_dict (torch tensors or numpy) -> flax params {'params': tree}."""
     sd = {}
