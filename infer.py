@@ -17,6 +17,7 @@ setup_runtime()
 import sr3_tpu.data as Data
 import sr3_tpu.utils.config as Logger
 from sr3_tpu.training import create_model
+from sr3_tpu.parallel.mesh import is_primary
 from sr3_tpu.training.evaluation import infer_sr
 from sr3_tpu.utils.wandb_logger import WandbLogger
 
@@ -44,7 +45,8 @@ def main():
     logger = logging.getLogger("base")
     logger.info(Logger.dict2str(opt))
 
-    wandb_logger = WandbLogger(opt) if opt["enable_wandb"] else None
+    wandb_logger = (WandbLogger(opt)
+                    if opt["enable_wandb"] and is_primary() else None)
 
     val_loader = None
     for phase, dataset_opt in opt["datasets"].items():

@@ -18,6 +18,7 @@ setup_runtime()
 import sr3_tpu.data as Data
 import sr3_tpu.utils.config as Logger
 from sr3_tpu.training import create_model
+from sr3_tpu.parallel.mesh import is_primary
 from sr3_tpu.training.evaluation import evaluate_uncond, sample_in_train
 from sr3_tpu.training.loops import train_loop
 from sr3_tpu.utils.wandb_logger import WandbLogger
@@ -52,10 +53,12 @@ def main():
     logger = logging.getLogger("base")
     logger.info(Logger.dict2str(opt))
     tb_logger = (
-        SummaryWriter(log_dir=opt["path"]["tb_logger"]) if SummaryWriter else None
+        SummaryWriter(log_dir=opt["path"]["tb_logger"])
+        if SummaryWriter and is_primary() else None
     )
 
-    wandb_logger = WandbLogger(opt) if opt["enable_wandb"] else None
+    wandb_logger = (WandbLogger(opt)
+                    if opt["enable_wandb"] and is_primary() else None)
 
     train_loader = None
     sample_sum = 1

@@ -52,12 +52,16 @@ def main():
     Logger.setup_logger("val", opt["path"]["log"], "val", level=logging.INFO)
     logger = logging.getLogger("base")
     logger.info(Logger.dict2str(opt))
+    from sr3_tpu.parallel.mesh import is_primary
+
+    # host-side sinks are primary-process-only under multi-host launches
     tb_logger = (
-        SummaryWriter(log_dir=opt["path"]["tb_logger"]) if SummaryWriter else None
+        SummaryWriter(log_dir=opt["path"]["tb_logger"])
+        if SummaryWriter and is_primary() else None
     )
 
     wandb_logger = None
-    if opt["enable_wandb"]:
+    if opt["enable_wandb"] and is_primary():
         import wandb
 
         wandb_logger = WandbLogger(opt)

@@ -75,10 +75,20 @@ class DataLoader:
     """Iterable over batches for one pass of the dataset per iteration."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
-                 drop_last=False, seed=0, prefetch=2, use_native=True):
+                 drop_last=False, seed=0, prefetch=2, use_native=True,
+                 shard_across_processes=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        # multi-host index sharding: by default only shuffled (training)
+        # loaders split the epoch across processes. Val/infer loaders must
+        # yield the FULL dataset on every process — the grouped evaluator
+        # runs each group as one collective global batch (identical on all
+        # hosts) and process 0 writes the outputs.
+        self.shard_across_processes = (
+            shuffle if shard_across_processes is None
+            else bool(shard_across_processes)
+        )
         self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -163,7 +173,7 @@ class DataLoader:
         import jax
 
         pc, pi = jax.process_count(), jax.process_index()
-        if pc > 1:
+        if pc > 1 and self.shard_across_processes:
             idx = idx[pi::pc]
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:

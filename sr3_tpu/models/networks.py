@@ -25,7 +25,14 @@ def resolve_dtype(name=None):
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
-def define_G(opt) -> GaussianDiffusion:
+def define_G(opt, pallas_gn=None) -> GaussianDiffusion:
+    """Build the diffusion model from a parsed config.
+
+    ``pallas_gn=False`` constructs the UNet with all Pallas GN kernels
+    disabled (per-model, not process-global) — required under spatial
+    ('space' axis) activation sharding where a pallas_call would force
+    GSPMD to all-gather the H-sharded activation.
+    """
     model_opt = opt["model"]
     cond_mode = model_opt["which_model_G"]  # 'sr3' | 'ddpm'
     unet_opt = model_opt["unet"]
@@ -53,6 +60,7 @@ def define_G(opt) -> GaussianDiffusion:
         init_type=init_type,
         remat=bool(unet_opt.get("remat", False)),
         use_flash=unet_opt.get("use_flash"),  # None = auto by seq length
+        pallas_gn=pallas_gn,
     )
     return GaussianDiffusion(
         unet,

@@ -122,6 +122,7 @@ class Block(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
+    pallas_gn: Optional[bool] = None  # False = no Pallas GN/conv kernels
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, pre_scale=None,
@@ -138,7 +139,8 @@ class Block(nn.Module):
             # model runs ~12% slower than XLA's cross-op fusion
             # (ops/conv_fused.py docstring has the numbers).
             use_pallas = (
-                None if os.environ.get("SR3_FUSED_CONV") == "1" else False
+                None if (os.environ.get("SR3_FUSED_CONV") == "1"
+                         and self.pallas_gn is not False) else False
             )
             return gn_silu_conv3x3(
                 x, gn_scale, gn_bias, kernel.astype(self.dtype),
@@ -151,7 +153,8 @@ class Block(nn.Module):
             x = x * pre_scale[:, None, None, :].astype(x.dtype)
         if pre_bias is not None:
             x = x + pre_bias[:, None, None, :].astype(x.dtype)
-        h = group_norm_swish(x, gn_scale, gn_bias, self.groups, eps=1e-5)
+        h = group_norm_swish(x, gn_scale, gn_bias, self.groups, eps=1e-5,
+                             use_pallas=self.pallas_gn)
         h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
         h = jax.lax.conv_general_dilated(
             h.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
@@ -173,13 +176,14 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
+    pallas_gn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, emb, *, train: bool = False):
         dim = x.shape[-1]
         h = Block(
             self.dim_out, groups=self.norm_groups, dtype=self.dtype,
-            init_type=self.init_type, name="block1",
+            init_type=self.init_type, pallas_gn=self.pallas_gn, name="block1",
         )(x, train=train)
 
         # conditioning is a per-(batch, channel) affine a*h + b — computed
@@ -214,7 +218,8 @@ class ResnetBlock(nn.Module):
             )(x.astype(self.dtype))
         return Block(
             self.dim_out, groups=self.norm_groups, dropout=self.dropout,
-            dtype=self.dtype, init_type=self.init_type, name="block2",
+            dtype=self.dtype, init_type=self.init_type,
+            pallas_gn=self.pallas_gn, name="block2",
         )(h, train=train, pre_scale=pre_scale, pre_bias=pre_bias,
           residual=x)
 
@@ -232,12 +237,14 @@ class SelfAttention(nn.Module):
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
     use_flash: Optional[bool] = None
+    pallas_gn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         head_dim = c // self.n_head
-        n = GroupNormSwish(num_groups=self.norm_groups, swish=False, name="norm")(x)
+        n = GroupNormSwish(num_groups=self.norm_groups, swish=False,
+                   use_pallas=self.pallas_gn, name="norm")(x)
         qkv = nn.Conv(
             c * 3, (1, 1), use_bias=False, dtype=self.dtype,
             kernel_init=_kernel_init(self.init_type), name="qkv",
@@ -267,6 +274,7 @@ class ResnetBlocWithAttn(nn.Module):
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
     use_flash: Optional[bool] = None
+    pallas_gn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
@@ -275,12 +283,14 @@ class ResnetBlocWithAttn(nn.Module):
             self.dim_out, cond_mode=self.cond_mode,
             use_affine_level=self.use_affine_level,
             norm_groups=self.norm_groups, dropout=self.dropout,
-            dtype=self.dtype, init_type=self.init_type, name="res_block",
+            dtype=self.dtype, init_type=self.init_type,
+            pallas_gn=self.pallas_gn, name="res_block",
         )(x, emb, train=train)
         if self.with_attn:
             x = SelfAttention(
                 norm_groups=self.norm_groups, dtype=self.dtype,
-                init_type=self.init_type, use_flash=self.use_flash, name="attn",
+                init_type=self.init_type, use_flash=self.use_flash,
+                pallas_gn=self.pallas_gn, name="attn",
             )(x)
         return x
 
@@ -307,6 +317,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     init_type: str = "orthogonal"
     use_flash: Optional[bool] = None
+    pallas_gn: Optional[bool] = None  # False = no Pallas GN kernels (spatial)
     remat: bool = False  # rematerialize ResnetBlocks: trade FLOPs for HBM
 
     @nn.compact
@@ -341,7 +352,7 @@ class UNet(nn.Module):
             use_affine_level=self.use_affine_level,
             norm_groups=self.norm_groups, dropout=self.dropout,
             with_attn=with_attn, dtype=self.dtype, init_type=self.init_type,
-            use_flash=self.use_flash, name=name,
+            use_flash=self.use_flash, pallas_gn=self.pallas_gn, name=name,
         )
 
         num_mults = len(self.channel_mults)
@@ -412,6 +423,7 @@ class UNet(nn.Module):
 
         out = Block(
             self.out_channel, groups=self.norm_groups, dtype=self.dtype,
-            init_type=self.init_type, name="final_conv",
+            init_type=self.init_type, pallas_gn=self.pallas_gn,
+            name="final_conv",
         )(x, train=train)
         return out.astype(jnp.float32)

@@ -227,16 +227,11 @@ _STATS_MIN_HW = 256 * 256
 
 # Under spatial ('space' axis) activation sharding a pallas_call would force
 # GSPMD to all-gather the H-sharded activation, defeating the sharding's
-# memory point; the Trainer disables BOTH Pallas GN paths for space>1
-# meshes and re-enables them for space==1 (the flag is read at trace time,
-# so it tracks the most recently constructed Trainer — stages in one
-# process run sequentially).
-_STATS_KERNEL_ENABLED = True
-
-
-def set_stats_kernel_enabled(flag: bool):
-    global _STATS_KERNEL_ENABLED
-    _STATS_KERNEL_ENABLED = bool(flag)
+# memory point; the Trainer constructs such models with pallas_gn=False
+# (threaded through UNet -> Block -> here as use_pallas=False, which
+# disables BOTH Pallas GN paths), so two coexisting trainers — e.g. a
+# cascade holding a spatial and a non-spatial stage — never affect each
+# other's lowering.
 
 
 def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, swish):
@@ -381,14 +376,20 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
     conv/cast/residual chains, leaving the whole model at ~87% of HBM
     speed-of-light. The kernel is kept behind ``use_pallas=True`` /
     ``SR3_PALLAS_GN=1`` for shapes where XLA's fusion falls apart.
+
+    ``use_pallas``: None = auto (env-gated); True = force the fused kernel;
+    False = force plain XLA, disabling BOTH Pallas paths (the fused GN+Swish
+    kernel and the stats-only kernel) — the per-model escape hatch used
+    under spatial activation sharding, where any pallas_call would make
+    GSPMD all-gather the H-sharded activation.
     """
     b, h, w, c = x.shape
     hw = h * w
     block_bytes = h * w * c * x.dtype.itemsize
+    pallas_allowed = use_pallas is not False
     if use_pallas is None:
         use_pallas = (
-            _STATS_KERNEL_ENABLED  # both Pallas paths gather under 'space'
-            and os.environ.get("SR3_PALLAS_GN") == "1"
+            os.environ.get("SR3_PALLAS_GN") == "1"
             and jax.default_backend() == "tpu"
             and block_bytes <= _VMEM_BLOCK_LIMIT
             and c % num_groups == 0
@@ -400,7 +401,7 @@ def group_norm_swish(x, scale, bias, num_groups, eps=1e-5, swish=True,
             x, scale, bias
         )
     use_stats = (
-        _STATS_KERNEL_ENABLED
+        pallas_allowed
         and os.environ.get("SR3_PALLAS_GN_STATS") == "1"
         and jax.default_backend() == "tpu"
         and hw >= _STATS_MIN_HW

@@ -48,6 +48,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_fetch(tree):
+    """``jax.device_get`` that also works on multi-process meshes.
+
+    Single-process (and any fully-addressable leaf): plain device_get,
+    zero overhead. A leaf that is a global ``jax.Array`` spanning processes
+    (mesh-sharded train state, sampler outputs) is rendered fully
+    replicated via ``multihost_utils.process_allgather`` — a collective,
+    so EVERY process must call host_fetch together — and every process
+    receives the complete global value. This is what lets checkpoint/val/
+    infer run unchanged under ``jax.process_count() > 1``, where the
+    reference's DataParallel never leaves one host.
+    """
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side writes (PNGs, metrics files,
+    TB/W&B streams, checkpoint initiation)."""
+    return jax.process_index() == 0
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict of NHWC numpy arrays onto the mesh, sharded on
     the leading (batch) axis. Non-array entries pass through.

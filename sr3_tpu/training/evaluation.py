@@ -24,9 +24,22 @@ import jax
 import numpy as np
 
 import sr3_tpu.utils.metrics as Metrics
-from sr3_tpu.parallel.mesh import batch_sharding
+from sr3_tpu.parallel.mesh import batch_sharding, is_primary
 
 logger = logging.getLogger("base")
+
+
+def _put_global(xs, sharding):
+    """Place a host batch that is IDENTICAL on every process onto the mesh,
+    sharded over 'data'. Single-process: plain device_put. Multi-process:
+    assemble the global array from each process's addressable slices of its
+    full local copy (every host iterates the full val set — see
+    DataLoader.shard_across_processes)."""
+    if jax.process_count() == 1:
+        return jax.device_put(xs, sharding)
+    return jax.make_array_from_callback(
+        xs.shape, sharding, lambda idx: xs[idx]
+    )
 
 
 def per_image(loader):
@@ -88,7 +101,7 @@ class GroupedEvaluator:
     def _flush_sr(self, buf, idx0, sharding, continous):
         pad = self.group - len(buf)
         xs = np.stack([it["SR"] for it in buf] + [buf[-1]["SR"]] * pad)
-        xs = jax.device_put(xs, sharding)
+        xs = _put_global(xs, sharding)
         out = self.trainer.test_batched(xs, self._keys(idx0), continous)
         for j, it in enumerate(buf):
             yield it, out[j]
@@ -137,7 +150,8 @@ def validate_in_train(diffusion, val_loader, opt, current_step, current_epoch,
     over the val set, per-image hr/sr/lr/inf PNGs + TB/W&B panels, avg PSNR.
     Handles the train->val->train schedule switch."""
     result_path = os.path.join(opt["path"]["results"], str(current_epoch))
-    os.makedirs(result_path, exist_ok=True)
+    if is_primary():
+        os.makedirs(result_path, exist_ok=True)
     diffusion.set_new_noise_schedule(
         opt["model"]["beta_schedule"]["val"], schedule_phase="val"
     )
@@ -153,18 +167,20 @@ def validate_in_train(diffusion, val_loader, opt, current_step, current_epoch,
         lr_img = Metrics.tensor2img(item["LR"])
         fake_img = Metrics.tensor2img(item["SR"])
 
-        for img, tag in ((hr_img, "hr"), (sr_img, "sr"),
-                         (lr_img, "lr"), (fake_img, "inf")):
-            Metrics.save_img(
-                img, f"{result_path}/{current_step}_{idx}_{tag}.png"
-            )
-        panel = np.concatenate((fake_img, sr_img, hr_img), axis=1)
-        if tb_logger:
-            tb_logger.add_image(
-                f"Iter_{current_step}", np.transpose(panel, [2, 0, 1]), idx
-            )
-        if wandb_logger:
-            wandb_logger.log_image(f"validation_{idx}", panel)
+        if is_primary():
+            for img, tag in ((hr_img, "hr"), (sr_img, "sr"),
+                             (lr_img, "lr"), (fake_img, "inf")):
+                Metrics.save_img(
+                    img, f"{result_path}/{current_step}_{idx}_{tag}.png"
+                )
+            panel = np.concatenate((fake_img, sr_img, hr_img), axis=1)
+            if tb_logger:
+                tb_logger.add_image(
+                    f"Iter_{current_step}", np.transpose(panel, [2, 0, 1]),
+                    idx
+                )
+            if wandb_logger:
+                wandb_logger.log_image(f"validation_{idx}", panel)
         avg_psnr += Metrics.calculate_psnr(sr_img, hr_img)
     if idx == 0:
         # a misconfigured/empty val dir must not kill a training run
@@ -183,13 +199,14 @@ def validate_in_train(diffusion, val_loader, opt, current_step, current_epoch,
         opt["model"]["beta_schedule"]["train"], schedule_phase="train"
     )
     logger.info("# Validation # PSNR: {:.4e}".format(avg_psnr))
-    logging.getLogger("val").info(
-        "<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}".format(
-            current_epoch, current_step, avg_psnr
+    if is_primary():
+        logging.getLogger("val").info(
+            "<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}".format(
+                current_epoch, current_step, avg_psnr
+            )
         )
-    )
-    if tb_logger:
-        tb_logger.add_scalar("psnr", avg_psnr, current_step)
+        if tb_logger:
+            tb_logger.add_scalar("psnr", avg_psnr, current_step)
     return avg_psnr
 
 
@@ -213,21 +230,22 @@ def evaluate_sr(diffusion, val_loader, opt, current_step, current_epoch,
         fake_img = Metrics.tensor2img(item["SR"])
         sr_img = Metrics.tensor2img(frames[-1])
 
-        Metrics.save_img(
-            Metrics.tensor2img(frames),
-            f"{result_path}/{current_step}_{idx}_sr_process.png",
-        )
-        for img, tag in ((sr_img, "sr"), (hr_img, "hr"),
-                         (lr_img, "lr"), (fake_img, "inf")):
+        if is_primary():
             Metrics.save_img(
-                img, f"{result_path}/{current_step}_{idx}_{tag}.png"
+                Metrics.tensor2img(frames),
+                f"{result_path}/{current_step}_{idx}_sr_process.png",
             )
+            for img, tag in ((sr_img, "sr"), (hr_img, "hr"),
+                             (lr_img, "lr"), (fake_img, "inf")):
+                Metrics.save_img(
+                    img, f"{result_path}/{current_step}_{idx}_{tag}.png"
+                )
 
         eval_psnr = Metrics.calculate_psnr(sr_img, hr_img)
         eval_ssim = Metrics.calculate_ssim(sr_img, hr_img)
         avg_psnr += eval_psnr
         avg_ssim += eval_ssim
-        if log_eval:
+        if log_eval and is_primary():
             wandb_logger.log_eval_data(
                 fake_img, sr_img, hr_img, eval_psnr, eval_ssim
             )
@@ -242,12 +260,13 @@ def evaluate_sr(diffusion, val_loader, opt, current_step, current_epoch,
     avg_ssim /= idx
     logger.info("# Validation # PSNR: {:.4e}".format(avg_psnr))
     logger.info("# Validation # SSIM: {:.4e}".format(avg_ssim))
-    logging.getLogger("val").info(
-        "<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}, ssim: {:.4e}".format(
-            current_epoch, current_step, avg_psnr, avg_ssim
+    if is_primary():
+        logging.getLogger("val").info(
+            "<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}, ssim: {:.4e}".format(
+                current_epoch, current_step, avg_psnr, avg_ssim
+            )
         )
-    )
-    if wandb_logger:
+    if wandb_logger and is_primary():
         if log_eval:
             wandb_logger.log_eval_table()
         # final summary metrics (reference sr.py:238-241)
@@ -273,16 +292,18 @@ def infer_sr(diffusion, val_loader, opt, wandb_logger=None):
         fake_img = Metrics.tensor2img(item["SR"])
         sr_img = Metrics.tensor2img(frames[-1])
 
-        Metrics.save_img(
-            Metrics.tensor2img(frames), f"{result_path}/0_{idx}_sr_process.png"
-        )
-        Metrics.save_img(sr_img, f"{result_path}/0_{idx}_sr.png")
-        Metrics.save_img(hr_img, f"{result_path}/0_{idx}_hr.png")
-        Metrics.save_img(fake_img, f"{result_path}/0_{idx}_inf.png")
+        if is_primary():
+            Metrics.save_img(
+                Metrics.tensor2img(frames),
+                f"{result_path}/0_{idx}_sr_process.png"
+            )
+            Metrics.save_img(sr_img, f"{result_path}/0_{idx}_sr.png")
+            Metrics.save_img(hr_img, f"{result_path}/0_{idx}_hr.png")
+            Metrics.save_img(fake_img, f"{result_path}/0_{idx}_inf.png")
 
-        if log_infer:
-            wandb_logger.log_eval_data(fake_img, sr_img, hr_img)
-    if log_infer:
+            if log_infer:
+                wandb_logger.log_eval_data(fake_img, sr_img, hr_img)
+    if log_infer and is_primary():
         wandb_logger.log_eval_table(commit=True)
 
 
@@ -299,6 +320,8 @@ def sample_in_train(diffusion, sample_sum, opt, current_step, current_epoch,
     )
     ev = GroupedEvaluator(diffusion, _group_size(opt, sample_sum))
     for i, sample in enumerate(ev.run_uncond(sample_sum, continous=False)):
+        if not is_primary():
+            continue
         img = Metrics.tensor2img(sample)
         Metrics.save_img(
             img, f"{result_path}/{current_step}_{i + 1}_sample.png"
@@ -318,6 +341,8 @@ def evaluate_uncond(diffusion, sample_sum, opt, current_step,
     os.makedirs(result_path, exist_ok=True)
     ev = GroupedEvaluator(diffusion, _group_size(opt, sample_sum))
     for i, frames in enumerate(ev.run_uncond(sample_sum, continous=True)):
+        if not is_primary():
+            continue
         final = Metrics.tensor2img(frames[-1])
         Metrics.save_img(
             Metrics.tensor2img(frames),

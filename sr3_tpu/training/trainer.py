@@ -33,7 +33,8 @@ from flax import struct, traverse_util
 from sr3_tpu.models.diffusion import GaussianDiffusion
 from sr3_tpu.models.networks import count_params, define_G, init_params
 from sr3_tpu.models.schedule import Schedule, make_schedule
-from sr3_tpu.parallel.mesh import create_mesh, shard_batch
+from sr3_tpu.parallel.mesh import (create_mesh, host_fetch, is_primary,
+                                    shard_batch)
 from sr3_tpu.utils.profiler import StepTimer
 
 logger = logging.getLogger("base")
@@ -62,7 +63,6 @@ class Trainer:
 
     def __init__(self, opt, mesh=None):
         self.opt = opt
-        self.diffusion: GaussianDiffusion = define_G(opt)
         if mesh is None:
             # optional config block:
             # "parallel": {"data": N, "model": M, "space": S}
@@ -72,18 +72,20 @@ class Trainer:
                 num_space=par.get("space", 1) or 1,
             )
         self.mesh = mesh
-        from sr3_tpu.ops.groupnorm import set_stats_kernel_enabled
-
-        if self.mesh.shape.get("space", 1) > 1:
+        spatial = self.mesh.shape.get("space", 1) > 1
+        # Under spatial sharding a pallas_call would make GSPMD gather the
+        # H-sharded activation, so the model is *constructed* with its
+        # Pallas GN kernels off — scoped to this trainer's model, never a
+        # process global (two coexisting trainers, e.g. a cascade's spatial
+        # + non-spatial stages, keep independent lowering).
+        self.diffusion: GaussianDiffusion = define_G(
+            opt, pallas_gn=False if spatial else None
+        )
+        if spatial:
             # pin activations to H-sharded layout (parallel/spatial.py)
             from sr3_tpu.parallel.spatial import spatial_constraint
 
             self.diffusion.shard_activations = spatial_constraint(self.mesh)
-            # a pallas_call would make GSPMD gather the H-sharded activation
-            set_stats_kernel_enabled(False)
-        else:
-            # re-enable for non-spatial stages later in the same process
-            set_stats_kernel_enabled(True)
         self.conditional = self.diffusion.conditional
         self.phase = opt.get("phase", "train")
 
@@ -546,7 +548,7 @@ class Trainer:
         fn = self._vmapped_sampler(
             "sr", (1,) + tuple(xs.shape[1:]), bool(continous)
         )
-        return jax.device_get(
+        return host_fetch(
             fn(self._eval_params(), self.sched, xs, keys)
         )
 
@@ -556,7 +558,7 @@ class Trainer:
         shape = (1, self.diffusion.image_size, self.diffusion.image_size,
                  self.diffusion.channels)
         fn = self._vmapped_sampler("uncond", shape, bool(continous))
-        return jax.device_get(fn(self._eval_params(), self.sched, keys))
+        return host_fetch(fn(self._eval_params(), self.sched, keys))
 
     def test(self, continous=False):
         """Conditional SR over the fed batch (reference model/model.py:60-70).
@@ -564,7 +566,7 @@ class Trainer:
         x = self.data["SR"]
         fn = self._sampler("sr", tuple(x.shape), bool(continous))
         self.rng, k = jax.random.split(self.rng)
-        self.output = jax.device_get(
+        self.output = host_fetch(
             fn(self._eval_params(), self.sched, x, k)
         )
 
@@ -578,7 +580,7 @@ class Trainer:
         )
         fn = self._sampler("uncond", shape, bool(continous))
         self.rng, k = jax.random.split(self.rng)
-        self.output = jax.device_get(fn(self._eval_params(), self.sched, k))
+        self.output = host_fetch(fn(self._eval_params(), self.sched, k))
 
     # ------------------------------------------------------- logs & visuals
 
@@ -598,10 +600,10 @@ class Trainer:
             out["SAM"] = self.output
         else:
             out["SR"] = self.output
-            out["INF"] = jax.device_get(self.data["SR"])
-            out["HR"] = jax.device_get(self.data["HR"])
+            out["INF"] = host_fetch(self.data["SR"])
+            out["HR"] = host_fetch(self.data["HR"])
             if need_LR and "LR" in self.data:
-                out["LR"] = jax.device_get(self.data["LR"])
+                out["LR"] = host_fetch(self.data["LR"])
         return out
 
     def print_network(self):
@@ -616,7 +618,7 @@ class Trainer:
             "{:,d}".format(n),
         )
         flat = traverse_util.flatten_dict(
-            jax.device_get(self.state.params).get("params", {})
+            host_fetch(self.state.params).get("params", {})
         )
         lines = [
             "UNet(cond_mode={}, in_channel={}, inner_channel={}, "
@@ -651,7 +653,13 @@ class Trainer:
 
     def save_network(self, epoch, iter_step):
         """Two artifacts per save, mirroring reference naming
-        (model/model.py:124-144)."""
+        (model/model.py:124-144).
+
+        Multi-host: collective — every process must call this together.
+        The state is gathered to every host (host_fetch's process_allgather
+        covers tensor-parallel-sharded leaves too), then process 0 alone
+        performs the write so N processes never race on one orbax path.
+        The durability barrier lives in wait_for_checkpoints()."""
         ckpt_dir = self.opt["path"]["checkpoint"]
         gen_path = os.path.abspath(
             os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_gen")
@@ -659,9 +667,11 @@ class Trainer:
         opt_path = os.path.abspath(
             os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_opt")
         )
+        state = host_fetch(self.state)
+        if not is_primary():
+            return
         ckptr = self._ckpt()
         ckptr.wait_until_finished()  # previous save, if still in flight
-        state = jax.device_get(self.state)
         gen = {"params": state.params}
         if self.use_ema:
             gen["ema_params"] = state.ema_params
@@ -679,9 +689,17 @@ class Trainer:
         logger.info("Saved model in [%s] ...", gen_path)
 
     def wait_for_checkpoints(self):
-        """Block until in-flight async checkpoint writes are durable."""
+        """Block until in-flight async checkpoint writes are durable.
+
+        Multi-host: collective. Process 0 drains its writer, then all
+        processes rendezvous, so no process can race ahead and resume from
+        a checkpoint that is not yet on disk."""
         if getattr(self, "_ckptr", None) is not None:
             self._ckptr.wait_until_finished()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("sr3_ckpt_durable")
 
     def load_network(self):
         """Resume from `path.resume_state` prefix (reference
@@ -717,7 +735,7 @@ class Trainer:
                 template = {
                     "epoch": 0,
                     "iter": 0,
-                    "opt_state": jax.device_get(self.state.opt_state),
+                    "opt_state": host_fetch(self.state.opt_state),
                 }
                 restored = ckptr.restore(opt_path, item=template)
                 self.begin_step = int(restored["iter"])

@@ -123,13 +123,25 @@ def parse(args):
 
 
 def setup_logger(logger_name, root, phase, level=logging.INFO, screen=False):
-    """Per-phase file logger + optional console (reference core/logger.py:128-142)."""
+    """Per-phase file logger + optional console (reference core/logger.py:128-142).
+
+    Multi-host: non-primary processes get their own ``{phase}_p{i}.log`` so
+    two hosts never interleave writes into one file (open(mode='w') from
+    process 1 would otherwise truncate process 0's log mid-run)."""
     logger = logging.getLogger(logger_name)
     formatter = logging.Formatter(
         "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
         datefmt="%y-%m-%d %H:%M:%S",
     )
-    log_file = os.path.join(root, "{}.log".format(phase))
+    suffix = ""
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() > 0:
+            suffix = "_p{}".format(jax.process_index())
+    except Exception:  # backend not initialized yet -> single-process
+        pass
+    log_file = os.path.join(root, "{}{}.log".format(phase, suffix))
     fh = logging.FileHandler(log_file, mode="w")
     fh.setFormatter(formatter)
     logger.setLevel(level)

@@ -95,6 +95,39 @@ def main():
     t_sp.optimize_parameters()
     loss_spatial = float(np.asarray(jax.device_get(t_sp.log_dict["l_pix"])))
 
+    # checkpoint save -> resume across BOTH processes: save_network is a
+    # collective (host_fetch allgather) with a process-0-only orbax write;
+    # wait_for_checkpoints barriers durability so process 1 cannot resume
+    # from a half-written directory (trainer.py save_network/load_network)
+    t.save_network(epoch=1, iter_step=2)
+    t.wait_for_checkpoints()
+    resume_opt = json.loads(json.dumps(opt))
+    from sr3_tpu.utils.config import dict_to_nonedict as _dn
+
+    resume_opt = _dn(resume_opt)
+    resume_opt["path"]["resume_state"] = os.path.join(ckpt_dir, "I2_E1")
+    t2 = Trainer(resume_opt, mesh=create_mesh())  # __init__ restores
+    from sr3_tpu.parallel.mesh import host_fetch
+
+    leaves = jax.tree_util.tree_leaves(host_fetch(t2.state.params))
+    param_checksum = float(sum(np.abs(l).sum() for l in leaves))
+    resumed_iter = int(t2.begin_step)
+
+    # batched val across the two processes: every process feeds the SAME
+    # full item stream (val loaders do not shard across processes); the
+    # grouped evaluator runs each group as ONE global collective chain and
+    # host_fetch hands every process the full output
+    from sr3_tpu.training.evaluation import GroupedEvaluator
+
+    t2.set_new_noise_schedule(
+        opt["model"]["beta_schedule"]["train"], "val")
+    ev = GroupedEvaluator(t2, group_size=8,
+                          base_rng=jax.random.PRNGKey(123))
+    items = [{"SR": sr[i], "HR": hr[i]} for i in range(3)]
+    outs = [out for _, out in ev.run_sr(iter(items), continous=False)]
+    val_checksum = float(sum(np.abs(o).sum() for o in outs))
+    assert len(outs) == 3 and outs[0].shape == (16, 16, 3)
+
     print(json.dumps({
         "process": pi,
         "process_count": pc,
@@ -103,6 +136,9 @@ def main():
         "loss": loss,
         "loss_spatial": loss_spatial,
         "indices": indices,
+        "param_checksum": param_checksum,
+        "resumed_iter": resumed_iter,
+        "val_checksum": val_checksum,
     }), flush=True)
 
 

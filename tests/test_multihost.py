@@ -55,7 +55,10 @@ def test_two_process_multihost_train_step(tmp_path):
         ))
     results = {}
     for p in procs:
-        out, err = p.communicate(timeout=540)
+        # generous: two worker processes share whatever CPUs the host has
+        # and each compiles several jits (train step, spatial step, val
+        # chain); on a loaded 1-CPU box 540 s was not enough (r04)
+        out, err = p.communicate(timeout=1500)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
@@ -82,6 +85,18 @@ def test_two_process_multihost_train_step(tmp_path):
     i0, i1 = results[0]["indices"], results[1]["indices"]
     assert set(i0).isdisjoint(i1)
     assert sorted(i0 + i1) == list(range(16))
+
+    # ckpt save -> resume spanning both processes: both resumed trainers
+    # hold identical params (process-0 write + durability barrier + shared
+    # restore) and the restored opt counter round-trips
+    assert results[0]["param_checksum"] == pytest.approx(
+        results[1]["param_checksum"], rel=1e-7)
+    assert results[0]["resumed_iter"] == results[1]["resumed_iter"] == 2
+
+    # batched val: the grouped evaluator's collective chains produce the
+    # same images on both hosts (host_fetch allgathers the global output)
+    assert results[0]["val_checksum"] == pytest.approx(
+        results[1]["val_checksum"], rel=1e-6)
 
     # cross-check vs a single-process 8-device run of the same global batch
     import jax
