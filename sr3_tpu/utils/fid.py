@@ -148,3 +148,96 @@ class RandomFeatureExtractor:
         for i in range(0, len(x), batch_size):
             out.append(np.asarray(self._apply(jnp.asarray(x[i:i + batch_size]))))
         return np.concatenate(out, axis=0)
+
+
+class InceptionV3FeatureExtractor:
+    """Canonical-scale FID extractor: torchvision InceptionV3 pooled
+    features (2048-d) + class logits for IS.
+
+    The reference never computes FID/IS at all; this makes the numbers
+    comparable to the published torchvision-Inception convention (resize
+    to 299, ImageNet normalization, avgpool features). Weight loading is
+    offline-tolerant, in order:
+
+    1. ``weights=`` path (or ``SR3_INCEPTION_WEIGHTS`` env): a local
+       torchvision ``inception_v3`` state_dict.
+    2. torchvision's pretrained download, when the machine has egress.
+    3. Random init + a loud warning — the math still runs, but scores are
+       then run-local (proxy-grade), NOT on the published scale.
+    """
+
+    def __init__(self, weights=None, device="cpu"):
+        import os
+        import logging
+
+        import torch
+        from torchvision.models import inception_v3
+
+        self.torch = torch
+        self.device = torch.device(device)
+        if weights is not False:
+            weights = weights or os.environ.get("SR3_INCEPTION_WEIGHTS")
+        net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+        self.canonical = False
+        if weights is False:
+            pass  # explicit random init (tests / air-gapped smoke runs)
+        elif weights:
+            state = torch.load(weights, map_location="cpu")
+            net.load_state_dict(state)
+            self.canonical = True
+        else:
+            try:
+                from torchvision.models import Inception_V3_Weights
+
+                net = inception_v3(
+                    weights=Inception_V3_Weights.IMAGENET1K_V1
+                )
+                self.canonical = True
+            except Exception:
+                logging.getLogger("base").warning(
+                    "InceptionV3 weights unavailable (no local path, no "
+                    "egress) — running with RANDOM init: FID/IS are NOT on "
+                    "the published scale. Provide SR3_INCEPTION_WEIGHTS."
+                )
+        net.eval().to(self.device)
+        self._net = net
+        self._feats = None
+        # capture pooled features right before the classifier head
+        net.avgpool.register_forward_hook(
+            lambda m, i, o: setattr(self, "_feats", o)
+        )
+
+    def _preprocess(self, arr):
+        torch = self.torch
+        x = torch.from_numpy(
+            np.ascontiguousarray(arr.transpose(0, 3, 1, 2))
+        ).float() / 255.0
+        x = torch.nn.functional.interpolate(
+            x, size=(299, 299), mode="bilinear", align_corners=False
+        )
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        return ((x - mean) / std).to(self.device)
+
+    def _run(self, images_uint8, batch_size):
+        arr = np.asarray(images_uint8)
+        if arr.ndim == 3:
+            arr = arr[None]
+        feats, logits = [], []
+        with self.torch.no_grad():
+            for i in range(0, len(arr), batch_size):
+                out = self._net(self._preprocess(arr[i:i + batch_size]))
+                logits.append(out.cpu().numpy())
+                feats.append(
+                    self.torch.flatten(self._feats, 1).cpu().numpy()
+                )
+        return np.concatenate(feats, 0), np.concatenate(logits, 0)
+
+    def __call__(self, images_uint8, batch_size=32):
+        """uint8 HWC images -> (N, 2048) pooled features."""
+        return self._run(images_uint8, batch_size)[0]
+
+    def features_and_logits(self, images_uint8, batch_size=32):
+        """-> ((N, 2048) features, (N, 1000) logits) in one pass; the
+        logits feed `inception_score`."""
+        return self._run(images_uint8, batch_size)

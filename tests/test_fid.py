@@ -6,8 +6,11 @@ math to closed forms rather than to reference behavior.
 """
 
 import numpy as np
+import pytest
 
 from sr3_tpu.utils import fid as F
+
+pytestmark = pytest.mark.quick
 
 
 def test_frechet_identical_stats_is_zero():
@@ -75,11 +78,43 @@ def test_random_extractor_deterministic_and_shaped():
     assert not np.allclose(f1, F.RandomFeatureExtractor(seed=8, width=64)(imgs))
 
 
-def test_fid_eval_cli(tmp_path):
-    """End-to-end over the reference results layout (*_hr/_sr pairs)."""
-    import subprocess
-    import sys
+def test_inception_extractor_random_init_shapes():
+    """Offline-tolerant path: weights=False runs the torchvision backbone
+    with random init (no download attempt) and produces 2048-d features +
+    1000-class logits that feed the same FID/IS math."""
+    pytest.importorskip("torchvision")
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    ex = F.InceptionV3FeatureExtractor(weights=False)
+    assert ex.canonical is False
+    feats, logits = ex.features_and_logits(imgs, batch_size=2)
+    assert feats.shape == (3, 2048)
+    assert logits.shape == (3, 1000)
+    assert np.isfinite(feats).all() and np.isfinite(logits).all()
+    # deterministic per-process: same extractor instance, same output
+    np.testing.assert_allclose(ex(imgs, batch_size=3), feats, atol=1e-5)
 
+
+def _fid_eval_main():
+    """Import tools/fid_eval.py (not a package) once per session."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "fid_eval.py")
+    spec = importlib.util.spec_from_file_location("fid_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main
+
+
+def test_fid_eval_cli(tmp_path, capsys):
+    """End-to-end over the reference results layout (*_hr/_sr pairs).
+
+    Runs main() in-process: a subprocess paid a cold jax import + compile
+    per test, which exceeded any fixed timeout on slow 1-CPU hosts
+    (VERDICT r03 weak #6) while exercising nothing extra beyond argparse —
+    which main(argv) covers too."""
     import sr3_tpu.utils.metrics as Metrics
 
     rng = np.random.default_rng(4)
@@ -91,19 +126,11 @@ def test_fid_eval_cli(tmp_path):
         Metrics.save_img(hr, str(tmp_path / f"{i}_0_hr.png"))
         Metrics.save_img(sr, str(tmp_path / f"{i}_0_sr.png"))
 
-    out = subprocess.run(
-        [sys.executable, "tools/fid_eval.py", "-p", str(tmp_path),
-         "--width", "32"],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert out.returncode == 0, out.stderr
-    assert "proxy-FID" in out.stdout
+    _fid_eval_main()(["-p", str(tmp_path), "--width", "32"])
+    assert "proxy-FID" in capsys.readouterr().out
 
 
-def test_fid_eval_cli_features_npz(tmp_path):
-    import subprocess
-    import sys
-
+def test_fid_eval_cli_features_npz(tmp_path, capsys):
     rng = np.random.default_rng(5)
     np.savez(
         tmp_path / "f.npz",
@@ -111,10 +138,6 @@ def test_fid_eval_cli_features_npz(tmp_path):
         fake=rng.standard_normal((64, 8)) + 0.5,
         logits=rng.standard_normal((64, 10)),
     )
-    out = subprocess.run(
-        [sys.executable, "tools/fid_eval.py",
-         "--features-npz", str(tmp_path / "f.npz")],
-        capture_output=True, text=True, timeout=120,
-    )
-    assert out.returncode == 0, out.stderr
-    assert "# FID" in out.stdout and "# IS" in out.stdout
+    _fid_eval_main()(["--features-npz", str(tmp_path / "f.npz")])
+    out = capsys.readouterr().out
+    assert "# FID" in out and "# IS" in out

@@ -34,7 +34,7 @@ def _load_dir(paths):
     return [Metrics.load_img(p) for p in paths]
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-p", "--path", type=str, default=None,
                     help="results dir with *_hr.png / *_sr.png pairs")
@@ -43,9 +43,17 @@ def main():
     ap.add_argument("--features-npz", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--extractor", choices=["proxy", "inception"],
+                    default="proxy",
+                    help="'inception': torchvision InceptionV3 (2048-d "
+                         "pooled features, published-scale FID + real IS); "
+                         "weights via --weights or SR3_INCEPTION_WEIGHTS, "
+                         "offline-tolerant")
+    ap.add_argument("--weights", type=str, default=None,
+                    help="local torchvision inception_v3 state_dict path")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--is-splits", type=int, default=10)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import numpy as np
 
@@ -84,6 +92,21 @@ def main():
             f"need >=2 images per side, got {len(real_paths)} real / "
             f"{len(fake_paths)} fake"
         )
+
+    if args.extractor == "inception":
+        extractor = F.InceptionV3FeatureExtractor(weights=args.weights)
+        feats_r = extractor(np.stack(_load_dir(real_paths)), args.batch)
+        feats_f, logits_f = extractor.features_and_logits(
+            np.stack(_load_dir(fake_paths)), args.batch
+        )
+        score = F.fid_from_features(feats_r, feats_f)
+        tag = ("inception-FID" if extractor.canonical
+               else "inception-FID (RANDOM INIT — run-local scale only)")
+        print(f"# {tag} ({len(real_paths)} real / "
+              f"{len(fake_paths)} fake): {score:.4f}")
+        m, sd = F.inception_score(logits_f, splits=args.is_splits)
+        print(f"# IS: {m:.4f} +/- {sd:.4f}")
+        return
 
     extractor = F.RandomFeatureExtractor(seed=args.seed, width=args.width)
     feats_r = extractor(np.stack(_load_dir(real_paths)), args.batch)
