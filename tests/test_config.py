@@ -9,6 +9,8 @@ import pytest
 
 from sr3_tpu.utils import config as C
 
+pytestmark = pytest.mark.quick
+
 
 def test_json_with_comments(tmp_path):
     p = tmp_path / "c.json"

@@ -3,6 +3,9 @@
 import numpy as np
 
 from sr3_tpu.data import LRHRDataset, create_dataloader
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_dataset_img_mode(fixture_root):

@@ -6,6 +6,8 @@ import pytest
 
 from sr3_tpu.utils import metrics as M
 
+pytestmark = pytest.mark.quick
+
 
 def test_psnr_identical_images_inf():
     img = np.zeros((32, 32, 3), np.uint8)

@@ -8,6 +8,9 @@ from PIL import Image
 
 from sr3_tpu.data.lrhr import LRHRDataset
 from sr3_tpu.data.prepare import prepare, resize_multiple
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_resize_multiple_shapes():

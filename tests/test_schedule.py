@@ -6,6 +6,8 @@ import pytest
 
 from sr3_tpu.models.schedule import make_beta_schedule, make_schedule
 
+pytestmark = pytest.mark.quick
+
 ALL_SCHEDULES = ["quad", "linear", "warmup10", "warmup50", "const", "jsd",
                  "cosine"]
 
