@@ -1,0 +1,371 @@
+"""Same-data same-budget quality head-to-head: this framework vs the torch
+reference (VERDICT r03 item #1).
+
+Both sides train the SAME architecture on the SAME bundled fixture dataset
+(dataset/fixtures_16_128, 6 image triplets) with the SAME optimizer, loss
+normalization, beta schedules, and — crucially — the IDENTICAL batch stream:
+per-step sample indices and horizontal-flip decisions come from one shared
+numpy RNG, so the only stochastic difference between the runs is the
+framework-internal noise/dropout stream (distributionally identical:
+t ~ U{1..T}, gamma ~ U[sqrt(abar_{t-1}), sqrt(abar_t)], eps ~ N(0,1);
+reference model/sr3_modules/diffusion.py:221-246).
+
+Every VAL_EVERY steps both sides run the full reverse chain (linear T=200
+val schedule — the VERDICT-sanctioned budget; T=2000 is hours per image on
+this 1-CPU host for torch) on the same held-out fixture images and score
+PSNR + SSIM with the same sr3_tpu.utils.metrics code (cv2-convention,
+framework-independent numpy). The paired trajectories are the evidence that
+the learning dynamics match (reference loop mirrored: sr.py:81-168,
+model/model.py:48-58).
+
+Usage:
+  python tools/quality_headtohead.py --side torch          # CPU, ~2h
+  python tools/quality_headtohead.py --side jax            # TPU (or SR3_PLATFORM=cpu)
+  python tools/quality_headtohead.py --side jax --extend 20000  # keep training
+      # past the head-to-head budget and save a checkpoint for sampler evals
+  python tools/quality_headtohead.py --merge               # -> docs/QUALITY_r04.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+DOCS = os.path.join(REPO, "docs")
+FIXTURES = os.path.join(REPO, "dataset", "fixtures_16_128")
+
+# ---- shared protocol -------------------------------------------------------
+PROTO = dict(
+    # reduced flagship: same topology family as sr_sr3_16_128 (attention at
+    # 16x16, FiLM conditioning, orthogonal init), sized so the torch side
+    # trains in ~2h on this 1-CPU host (10.5M params, 2.9 s/step at batch 4)
+    unet=dict(in_channel=6, out_channel=3, inner_channel=32, norm_groups=16,
+              channel_mults=(1, 2, 4, 8), attn_res=(16,), res_blocks=1,
+              dropout=0.2),
+    image_size=128,
+    train_schedule=dict(schedule="linear", n_timestep=2000,
+                        linear_start=1e-6, linear_end=1e-2),
+    val_schedule=dict(schedule="linear", n_timestep=200,
+                      linear_start=1e-6, linear_end=1e-2),
+    lr=1e-4,
+    batch=4,
+    steps=1600,
+    val_every=200,
+    val_ids=(0, 1, 2),
+    data_seed=2024,
+    model_seed=0,
+)
+
+
+def load_fixtures():
+    """-> (hr, sr) float32 [-1,1] NHWC arrays over all 6 fixture images."""
+    hr_dir = os.path.join(FIXTURES, "hr_128")
+    sr_dir = os.path.join(FIXTURES, "sr_16_128")
+    names = sorted(os.listdir(hr_dir))
+    hr = np.stack([np.asarray(Image.open(os.path.join(hr_dir, n)).convert("RGB"),
+                              np.float32) for n in names])
+    sr = np.stack([np.asarray(Image.open(os.path.join(sr_dir, n)).convert("RGB"),
+                              np.float32) for n in names])
+    return hr / 127.5 - 1.0, sr / 127.5 - 1.0
+
+
+def batch_stream(n_images, steps, batch, seed):
+    """The SHARED per-step (indices, flips) schedule both frameworks consume."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(steps):
+        idx = rng.choice(n_images, size=batch, replace=False)
+        flips = rng.random(batch) < 0.5
+        out.append((idx, flips))
+    return out
+
+
+def make_batch(hr, sr, idx, flips):
+    """NHWC float32 batch with the paired horizontal flip applied."""
+    h = hr[idx].copy()
+    s = sr[idx].copy()
+    for j, f in enumerate(flips):
+        if f:
+            h[j] = h[j][:, ::-1]
+            s[j] = s[j][:, ::-1]
+    return h, s
+
+
+def score(sr_img_float, hr_img_float):
+    """PSNR/SSIM on uint8 images via the shared metrics code. Inputs are
+    HWC float [-1,1]."""
+    from sr3_tpu.utils import metrics as Metrics
+
+    a = Metrics.tensor2img(sr_img_float)
+    b = Metrics.tensor2img(hr_img_float)
+    return (float(Metrics.calculate_psnr(a, b)),
+            float(Metrics.calculate_ssim(a, b)))
+
+
+def write_json(path, obj):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+    print(f"wrote {path}")
+
+
+# ---- torch side (the reference, imported — the baseline under test) --------
+
+def run_torch():
+    import torch
+
+    sys.path.insert(0, "/root/reference/model/sr3_modules")
+    import diffusion as ref_diff  # noqa: E402
+    import unet as ref_unet  # noqa: E402
+    sys.path.pop(0)
+
+    p = PROTO
+    torch.manual_seed(p["model_seed"])
+    np.random.seed(p["model_seed"])
+    u = p["unet"]
+    net = ref_unet.UNet(
+        in_channel=u["in_channel"], out_channel=u["out_channel"],
+        inner_channel=u["inner_channel"], norm_groups=u["norm_groups"],
+        channel_mults=u["channel_mults"], attn_res=u["attn_res"],
+        res_blocks=u["res_blocks"], dropout=u["dropout"],
+        with_noise_level_emb=True, image_size=p["image_size"],
+    )
+    # the reference trains with orthogonal init (model/networks.py:110-112)
+    from torch.nn import init
+
+    def init_orth(m):
+        cn = m.__class__.__name__
+        if cn.find("Conv") != -1 or cn.find("Linear") != -1:
+            if hasattr(m, "weight") and m.weight is not None \
+                    and m.weight.dim() >= 2:
+                init.orthogonal_(m.weight.data, gain=1)
+            if hasattr(m, "bias") and m.bias is not None:
+                m.bias.data.zero_()
+
+    net.apply(init_orth)
+    diff = ref_diff.GaussianDiffusion(
+        net, image_size=p["image_size"], channels=3, loss_type="l1",
+        conditional=True,
+    )
+    dev = torch.device("cpu")
+    diff.set_loss(dev)
+    diff.set_new_noise_schedule(p["train_schedule"], dev)
+    opt = torch.optim.Adam(net.parameters(), lr=p["lr"])
+
+    hr, sr = load_fixtures()
+    stream = batch_stream(len(hr), p["steps"], p["batch"], p["data_seed"])
+    traj, losses = [], []
+    t_start = time.time()
+    for step, (idx, flips) in enumerate(stream, start=1):
+        h, s = make_batch(hr, sr, idx, flips)
+        data = {"HR": torch.from_numpy(h.transpose(0, 3, 1, 2)),
+                "SR": torch.from_numpy(s.transpose(0, 3, 1, 2))}
+        # the exact reference optimize_parameters (model/model.py:48-58)
+        opt.zero_grad()
+        l_pix = diff(data)
+        b, c, hh, ww = data["HR"].shape
+        l_pix = l_pix.sum() / int(b * c * hh * ww)
+        l_pix.backward()
+        opt.step()
+        losses.append(float(l_pix.detach()))
+        if step % 50 == 0:
+            print(f"[torch] step {step}/{p['steps']} "
+                  f"loss {np.mean(losses[-50:]):.4f} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
+        if step % p["val_every"] == 0:
+            diff.set_new_noise_schedule(p["val_schedule"], dev)
+            net.eval()
+            psnrs, ssims = [], []
+            for vid in p["val_ids"]:
+                with torch.no_grad():
+                    x = torch.from_numpy(
+                        sr[vid].transpose(2, 0, 1)[None])
+                    # continous=False returns ret_img[-1]: (3,H,W) at batch 1
+                    out = diff.super_resolution(x, continous=False)
+                img = out.cpu().numpy().transpose(1, 2, 0)
+                ps, ss = score(img, hr[vid])
+                psnrs.append(ps)
+                ssims.append(ss)
+            net.train()
+            diff.set_new_noise_schedule(p["train_schedule"], dev)
+            traj.append(dict(step=step, psnr=psnrs, ssim=ssims,
+                             avg_psnr=round(float(np.mean(psnrs)), 4),
+                             avg_ssim=round(float(np.mean(ssims)), 4)))
+            print(f"[torch] VAL step {step}: psnr {traj[-1]['avg_psnr']} "
+                  f"ssim {traj[-1]['avg_ssim']}", flush=True)
+            write_json(os.path.join(DOCS, "QUALITY_r04_torch.json"),
+                       _result("torch (reference, CPU)", traj, losses,
+                               time.time() - t_start))
+    write_json(os.path.join(DOCS, "QUALITY_r04_torch.json"),
+               _result("torch (reference, CPU)", traj, losses,
+                       time.time() - t_start))
+
+
+# ---- jax side (this framework, production path) ----------------------------
+
+def run_jax(extend=0):
+    from sr3_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    from sr3_tpu.utils.config import dict_to_nonedict
+    from sr3_tpu.training.trainer import create_model
+
+    p = PROTO
+    u = p["unet"]
+    ckpt_dir = os.path.join(REPO, "experiments", "headtohead_r04",
+                            "checkpoint")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    opt = dict_to_nonedict({
+        "name": "headtohead_r04", "phase": "train", "gpu_ids": [0],
+        "seed": p["model_seed"],
+        "path": {"checkpoint": ckpt_dir, "resume_state": None},
+        "model": {
+            "which_model_G": "sr3", "finetune_norm": False,
+            "unet": {
+                "in_channel": u["in_channel"],
+                "out_channel": u["out_channel"],
+                "inner_channel": u["inner_channel"],
+                "norm_groups": u["norm_groups"],
+                "channel_multiplier": list(u["channel_mults"]),
+                "attn_res": list(u["attn_res"]),
+                "res_blocks": u["res_blocks"], "dropout": u["dropout"],
+            },
+            "beta_schedule": {"train": dict(p["train_schedule"]),
+                              "val": dict(p["val_schedule"])},
+            "diffusion": {"image_size": p["image_size"], "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": p["steps"] + extend,
+                  "optimizer": {"type": "adam", "lr": p["lr"]}},
+    })
+    trainer = create_model(opt)
+    trainer.set_new_noise_schedule(p["train_schedule"], "train")
+
+    hr, sr = load_fixtures()
+    total = p["steps"] + extend
+    stream = batch_stream(len(hr), total, p["batch"], p["data_seed"])
+    traj, losses = [], []
+    t_start = time.time()
+
+    def validate(step):
+        trainer.set_new_noise_schedule(p["val_schedule"], "val")
+        psnrs, ssims = [], []
+        for vid in p["val_ids"]:
+            trainer.feed_data({"SR": sr[vid][None], "HR": hr[vid][None]})
+            trainer.test(continous=False)
+            vis = trainer.get_current_visuals(need_LR=False)
+            ps, ss = score(vis["SR"][0], hr[vid])
+            psnrs.append(ps)
+            ssims.append(ss)
+        trainer.set_new_noise_schedule(p["train_schedule"], "train")
+        rec = dict(step=step, psnr=psnrs, ssim=ssims,
+                   avg_psnr=round(float(np.mean(psnrs)), 4),
+                   avg_ssim=round(float(np.mean(ssims)), 4))
+        print(f"[jax] VAL step {step}: psnr {rec['avg_psnr']} "
+              f"ssim {rec['avg_ssim']}", flush=True)
+        return rec
+
+    for step, (idx, flips) in enumerate(stream, start=1):
+        h, s = make_batch(hr, sr, idx, flips)
+        trainer.feed_data({"HR": h, "SR": s})
+        trainer.optimize_parameters()
+        if step % 50 == 0:
+            losses.append(float(trainer.log_dict["l_pix"]))
+            print(f"[jax] step {step}/{total} loss {losses[-1]:.4f} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
+        if step <= p["steps"] and step % p["val_every"] == 0:
+            traj.append(validate(step))
+            write_json(os.path.join(DOCS, "QUALITY_r04_jax.json"),
+                       _result(f"sr3_tpu ({jax.default_backend()})", traj,
+                               losses, time.time() - t_start))
+    if extend:
+        traj.append(validate(total))
+        trainer.save_network(epoch=1, iter_step=total)
+        trainer.wait_for_checkpoints()
+        print(f"[jax] saved checkpoint at step {total} -> {ckpt_dir}")
+    write_json(os.path.join(DOCS, "QUALITY_r04_jax.json"),
+               _result(f"sr3_tpu ({jax.default_backend()})", traj, losses,
+                       time.time() - t_start))
+
+
+def _result(side, traj, losses, wall_s):
+    return dict(
+        what=("Same-data same-budget head-to-head (VERDICT r03 #1): shared "
+              "batch/flip stream, same arch/lr/schedules, PSNR+SSIM every "
+              f"{PROTO['val_every']} steps at val T="
+              f"{PROTO['val_schedule']['n_timestep']} on fixture images "
+              f"{list(PROTO['val_ids'])}."),
+        side=side, proto={k: (list(v) if isinstance(v, tuple) else v)
+                          for k, v in PROTO.items() if k != "unet"},
+        unet=dict(PROTO["unet"], channel_mults=list(
+            PROTO["unet"]["channel_mults"]),
+            attn_res=list(PROTO["unet"]["attn_res"])),
+        trajectory=traj,
+        loss_per50=[round(x, 4) for x in losses],
+        wall_seconds=round(wall_s, 1),
+    )
+
+
+def merge():
+    with open(os.path.join(DOCS, "QUALITY_r04_torch.json")) as f:
+        t = json.load(f)
+    with open(os.path.join(DOCS, "QUALITY_r04_jax.json")) as f:
+        j = json.load(f)
+    jt = {r["step"]: r for r in j["trajectory"]}
+    rows = []
+    for r in t["trajectory"]:
+        s = r["step"]
+        if s not in jt:
+            continue
+        rows.append(dict(
+            step=s,
+            torch_psnr=r["avg_psnr"], jax_psnr=jt[s]["avg_psnr"],
+            torch_ssim=r["avg_ssim"], jax_ssim=jt[s]["avg_ssim"],
+            d_psnr=round(jt[s]["avg_psnr"] - r["avg_psnr"], 4),
+            d_ssim=round(jt[s]["avg_ssim"] - r["avg_ssim"], 4),
+        ))
+    out = dict(
+        what=("Paired PSNR/SSIM trajectories, torch reference vs sr3_tpu, "
+              "identical data stream and hyperparameters "
+              "(tools/quality_headtohead.py). Positive delta = sr3_tpu "
+              "ahead."),
+        proto=t.get("proto"), unet=t.get("unet"),
+        paired=rows,
+        final=rows[-1] if rows else None,
+        mean_abs_d_psnr=round(float(np.mean([abs(r["d_psnr"]) for r in rows])),
+                              4) if rows else None,
+        mean_abs_d_ssim=round(float(np.mean([abs(r["d_ssim"]) for r in rows])),
+                              4) if rows else None,
+        torch_wall_seconds=t["wall_seconds"],
+        jax_wall_seconds=j["wall_seconds"],
+        sides={"torch": t["side"], "jax": j["side"]},
+    )
+    write_json(os.path.join(DOCS, "QUALITY_r04.json"), out)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["torch", "jax"])
+    ap.add_argument("--extend", type=int, default=0,
+                    help="jax side: extra training steps past the "
+                         "head-to-head budget (checkpoint saved at the end)")
+    ap.add_argument("--merge", action="store_true")
+    args = ap.parse_args()
+    if args.merge:
+        merge()
+    elif args.side == "torch":
+        run_torch()
+    elif args.side == "jax":
+        run_jax(extend=args.extend)
+    else:
+        ap.error("need --side or --merge")

@@ -1,0 +1,136 @@
+"""Re-validate the 'matched quality' sampler claim at T=2000 with SSIM
+(VERDICT r03 item #2).
+
+Round 3 labeled the 50-NFE SDE-DPM++(2M) bench line `matched_quality_
+throughput` on evidence from a T=200 / 2-image / PSNR-only overfit eval.
+This re-measures on the head-to-head model (tools/quality_headtohead.py
+--extend checkpoint): the FULL T=2000 ancestral chain vs DDIM and
+SDE-DPM++(2M) at several NFE, PSNR + SSIM on the 3 val fixture images,
+identical per-image noise keys across samplers.
+
+Usage: python tools/sampler_requal.py [--ckpt PREFIX]
+Writes docs/SAMPLER_REQUAL_r04.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.quality_headtohead import PROTO, load_fixtures, score  # noqa: E402
+
+T2000 = dict(schedule="linear", n_timestep=2000,
+             linear_start=1e-6, linear_end=1e-2)
+
+
+def build_trainer(ckpt_prefix, sampler_cfg):
+    from sr3_tpu.utils.config import dict_to_nonedict
+    from sr3_tpu.training.trainer import create_model
+
+    p = PROTO
+    u = p["unet"]
+    diffusion = {"image_size": p["image_size"], "channels": 3,
+                 "conditional": True}
+    diffusion.update(sampler_cfg)
+    opt = dict_to_nonedict({
+        "name": "sampler_requal", "phase": "val", "gpu_ids": [0],
+        "seed": p["model_seed"],
+        "path": {"checkpoint": os.path.join(REPO, "experiments",
+                                            "sampler_requal", "checkpoint"),
+                 "resume_state": ckpt_prefix},
+        "model": {
+            "which_model_G": "sr3", "finetune_norm": False,
+            "unet": {
+                "in_channel": u["in_channel"],
+                "out_channel": u["out_channel"],
+                "inner_channel": u["inner_channel"],
+                "norm_groups": u["norm_groups"],
+                "channel_multiplier": list(u["channel_mults"]),
+                "attn_res": list(u["attn_res"]),
+                "res_blocks": u["res_blocks"], "dropout": u["dropout"],
+            },
+            "beta_schedule": {"val": dict(T2000)},
+            "diffusion": diffusion,
+        },
+    })
+    t = create_model(opt)
+    t.set_new_noise_schedule(T2000, "val")
+    return t
+
+
+def run_one(name, sampler_cfg, ckpt, hr, sr, keys):
+    import jax
+
+    t = build_trainer(ckpt, sampler_cfg)
+    psnrs, ssims = [], []
+    t0 = time.time()
+    for j, vid in enumerate(PROTO["val_ids"]):
+        xs = sr[vid][None]
+        out = t.test_batched(np.asarray(xs), keys[j:j + 1], continous=False)
+        ps, ss = score(out[0], hr[vid])
+        psnrs.append(round(ps, 4))
+        ssims.append(round(ss, 4))
+    wall = time.time() - t0
+    rec = dict(sampler=name, cfg=sampler_cfg,
+               psnr=psnrs, ssim=ssims,
+               avg_psnr=round(float(np.mean(psnrs)), 4),
+               avg_ssim=round(float(np.mean(ssims)), 4),
+               wall_s=round(wall, 1))
+    print(json.dumps(rec), flush=True)
+    del t
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=os.path.join(
+        REPO, "experiments", "headtohead_r04", "checkpoint", "I21600_E1"))
+    args = ap.parse_args()
+
+    from sr3_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    hr, sr = load_fixtures()
+    # one fixed key per val image, shared by every sampler
+    base = jax.random.PRNGKey(42)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        np.arange(len(PROTO["val_ids"])))
+
+    runs = []
+    for name, cfg in [
+        ("ancestral_T2000", {}),
+        ("dpm++_sde_100", {"sampler": "dpm++", "sampler_steps": 100}),
+        ("dpm++_sde_50", {"sampler": "dpm++", "sampler_steps": 50}),
+        ("dpm++_sde_25", {"sampler": "dpm++", "sampler_steps": 25}),
+        ("ddim_eta1_50", {"sampler": "ddim", "sampler_steps": 50,
+                          "eta": 1.0}),
+    ]:
+        runs.append(run_one(name, cfg, args.ckpt, hr, sr, keys))
+
+    anc = runs[0]
+    out = dict(
+        what=("T=2000 sampler quality re-validation on the head-to-head "
+              "model (VERDICT r03 #2): PSNR+SSIM vs the full ancestral "
+              "chain, same per-image noise keys, 3 val fixtures."),
+        ckpt=args.ckpt, schedule=T2000, runs=runs,
+        deltas={r["sampler"]: {
+            "d_psnr": round(r["avg_psnr"] - anc["avg_psnr"], 4),
+            "d_ssim": round(r["avg_ssim"] - anc["avg_ssim"], 4)}
+            for r in runs[1:]},
+    )
+    path = os.path.join(REPO, "docs", "SAMPLER_REQUAL_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
