@@ -83,7 +83,7 @@ def q_posterior(sched: Schedule, x_start, x_t, t):
     return mean, sched.posterior_log_variance_clipped[t]
 
 
-def _snapshot_count(num_timesteps: int) -> int:
+def _snapshot_count(num_timesteps: int) -> tuple:
     """Frames collected by the reference's `i % sample_inter == 0` rule with
     sample_inter = 1 | (T // 10) — bitwise OR, faithfully reproduced
     (sr3_modules/diffusion.py:179)."""

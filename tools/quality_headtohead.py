@@ -210,7 +210,11 @@ def run_torch():
 
 # ---- jax side (this framework, production path) ----------------------------
 
-def run_jax(extend=0):
+def run_jax(extend=0, dtype=None, tag=""):
+    """``dtype``: override the model compute dtype (the trainer default is
+    bf16 on TPU — networks.resolve_dtype). ``--dtype float32`` isolates
+    whether a trajectory delta vs the f32-on-CPU torch side is precision
+    or framework. ``tag`` suffixes the artifact filename."""
     from sr3_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
@@ -230,6 +234,7 @@ def run_jax(extend=0):
         "path": {"checkpoint": ckpt_dir, "resume_state": None},
         "model": {
             "which_model_G": "sr3", "finetune_norm": False,
+            "dtype": dtype,
             "unet": {
                 "in_channel": u["in_channel"],
                 "out_channel": u["out_channel"],
@@ -255,6 +260,9 @@ def run_jax(extend=0):
     stream = batch_stream(len(hr), total, p["batch"], p["data_seed"])
     traj, losses = [], []
     t_start = time.time()
+    art = os.path.join(DOCS, f"QUALITY_r04_jax{tag}.json")
+    side_label = (f"sr3_tpu ({jax.default_backend()}"
+                  + (f", dtype={dtype}" if dtype else "") + ")")
 
     def validate(step):
         trainer.set_new_noise_schedule(p["val_schedule"], "val")
@@ -284,17 +292,15 @@ def run_jax(extend=0):
                   f"({time.time() - t_start:.0f}s)", flush=True)
         if step <= p["steps"] and step % p["val_every"] == 0:
             traj.append(validate(step))
-            write_json(os.path.join(DOCS, "QUALITY_r04_jax.json"),
-                       _result(f"sr3_tpu ({jax.default_backend()})", traj,
-                               losses, time.time() - t_start))
+            write_json(art, _result(side_label, traj, losses,
+                                    time.time() - t_start))
     if extend:
         traj.append(validate(total))
         trainer.save_network(epoch=1, iter_step=total)
         trainer.wait_for_checkpoints()
         print(f"[jax] saved checkpoint at step {total} -> {ckpt_dir}")
-    write_json(os.path.join(DOCS, "QUALITY_r04_jax.json"),
-               _result(f"sr3_tpu ({jax.default_backend()})", traj, losses,
-                       time.time() - t_start))
+    write_json(art, _result(side_label, traj, losses,
+                            time.time() - t_start))
 
 
 def _result(side, traj, losses, wall_s):
@@ -359,6 +365,12 @@ if __name__ == "__main__":
     ap.add_argument("--extend", type=int, default=0,
                     help="jax side: extra training steps past the "
                          "head-to-head budget (checkpoint saved at the end)")
+    ap.add_argument("--dtype", default=None,
+                    help="jax side: model compute dtype override (e.g. "
+                         "float32 to match the torch side's precision; "
+                         "default = trainer's bf16-on-TPU)")
+    ap.add_argument("--tag", default="",
+                    help="jax side: artifact filename suffix, e.g. _f32")
     ap.add_argument("--merge", action="store_true")
     args = ap.parse_args()
     if args.merge:
@@ -366,6 +378,6 @@ if __name__ == "__main__":
     elif args.side == "torch":
         run_torch()
     elif args.side == "jax":
-        run_jax(extend=args.extend)
+        run_jax(extend=args.extend, dtype=args.dtype, tag=args.tag)
     else:
         ap.error("need --side or --merge")
