@@ -43,8 +43,10 @@ BENCH_REPEATS (default 1), BENCH_TRAIN_BATCH (default 16),
 BENCH_TRAIN_ITERS (default 10), BENCH_SKIP_TRAIN=1, BENCH_CONFIG,
 SR3_PLATFORM (force backend), BENCH_INIT_TIMEOUT (default 300 s — abort
 with exit 3 if backend init hangs, e.g. a dead TPU tunnel),
-BENCH_DPMPP_STEPS (default 50) / BENCH_SKIP_DPMPP=1 for the matched-quality
-SDE-DPM-Solver++ sampling line (docs/SAMPLER_EVAL_r03.json).
+BENCH_DPMPP_STEPS (default 50) / BENCH_SKIP_DPMPP=1 for the fewer-step
+SDE-DPM-Solver++ sampling line (quality evidence: docs/SAMPLER_REQUAL_r04
+.json — PSNR matches the T=2000 ancestral chain within noise, SSIM reads
+~0.05 lower on the head-to-head overfit model).
 """
 
 import json
@@ -233,12 +235,13 @@ def main():
     x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
     sched = jax.device_put(sched)  # see bench_train: no per-call transfers
 
-    # ---- matched-quality fewer-step sampling: SDE-DPM-Solver++(2M).
-    # 50 NFE over the same T=2000 schedule matches the full ancestral
-    # chain's PSNR on the trained flagship (docs/SAMPLER_EVAL_r03.json:
-    # 34.9 vs 35.7 dB avg) — this line is the framework's real serving
-    # throughput; the reference ships no fewer-step sampler, so its
-    # matched-quality rate stays the 2000-step baseline.
+    # ---- fewer-step sampling: SDE-DPM-Solver++(2M), 50 NFE over the same
+    # T=2000 schedule. Quality vs the full ancestral chain (multi-seed
+    # re-validation at T=2000, docs/SAMPLER_REQUAL_r04.json): PSNR matches
+    # within noise (-0.18 dB at sigma=1.3); SSIM reads ~0.05 lower on the
+    # weak head-to-head overfit model, so the line is labeled plain
+    # throughput, not "matched quality". The reference ships no fewer-step
+    # sampler at all — its serving rate stays the 2000-step chain.
     if os.environ.get("BENCH_SKIP_DPMPP", "0") != "1":
         dsteps = int(os.environ.get("BENCH_DPMPP_STEPS", 50))
         dfn = jax.jit(
@@ -261,8 +264,7 @@ def main():
             file=sys.stderr,
         )
         print(json.dumps({
-            "metric": f"{stem}_sampling_dpmpp{dsteps}_matched_quality"
-                      "_throughput",
+            "metric": f"{stem}_sampling_dpmpp{dsteps}_throughput",
             "value": round(batch / ddt, 4),
             "unit": "images/sec/chip",
             "vs_baseline": round(
@@ -270,6 +272,10 @@ def main():
             ),
             "nfe": dsteps,
             "batch": batch,
+            "quality_vs_ancestral_T2000": (
+                "PSNR within noise, SSIM -0.05 on the h2h overfit model "
+                "(docs/SAMPLER_REQUAL_r04.json)"
+            ),
         }))
     # sched is passed as an ARGUMENT, never closed over: closure embeds the
     # schedule arrays as HLO constants and the T=2000 literals blow

@@ -64,23 +64,27 @@ def build_trainer(ckpt_prefix, sampler_cfg):
     return t
 
 
-def run_one(name, sampler_cfg, ckpt, hr, sr, keys):
-    import jax
-
+def run_one(name, sampler_cfg, ckpt, hr, sr, keys, n_seeds):
+    """All (val image x noise seed) chains in ONE batched dispatch — a
+    batch-1 128^2 chain leaves the chip idle, so n_seeds of evidence cost
+    the same wall time as one."""
     t = build_trainer(ckpt, sampler_cfg)
-    psnrs, ssims = [], []
+    vids = list(PROTO["val_ids"])
+    xs = np.stack([sr[v] for v in vids for _ in range(n_seeds)])
     t0 = time.time()
-    for j, vid in enumerate(PROTO["val_ids"]):
-        xs = sr[vid][None]
-        out = t.test_batched(np.asarray(xs), keys[j:j + 1], continous=False)
-        ps, ss = score(out[0], hr[vid])
-        psnrs.append(round(ps, 4))
-        ssims.append(round(ss, 4))
+    out = t.test_batched(xs, keys, continous=False)
     wall = time.time() - t0
-    rec = dict(sampler=name, cfg=sampler_cfg,
-               psnr=psnrs, ssim=ssims,
-               avg_psnr=round(float(np.mean(psnrs)), 4),
-               avg_ssim=round(float(np.mean(ssims)), 4),
+    ps = np.array([[score(out[i * n_seeds + s], hr[v])[0]
+                    for s in range(n_seeds)] for i, v in enumerate(vids)])
+    ss = np.array([[score(out[i * n_seeds + s], hr[v])[1]
+                    for s in range(n_seeds)] for i, v in enumerate(vids)])
+    rec = dict(sampler=name, cfg=sampler_cfg, n_seeds=n_seeds,
+               psnr_per_image_mean=[round(x, 4) for x in ps.mean(1)],
+               ssim_per_image_mean=[round(x, 4) for x in ss.mean(1)],
+               avg_psnr=round(float(ps.mean()), 4),
+               std_psnr=round(float(ps.std()), 4),
+               avg_ssim=round(float(ss.mean()), 4),
+               std_ssim=round(float(ss.std()), 4),
                wall_s=round(wall, 1))
     print(json.dumps(rec), flush=True)
     del t
@@ -91,6 +95,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=os.path.join(
         REPO, "experiments", "headtohead_r04", "checkpoint", "I21600_E1"))
+    ap.add_argument("--seeds", type=int, default=4,
+                    help="independent noise chains per val image")
     args = ap.parse_args()
 
     from sr3_tpu.utils.runtime import setup_runtime
@@ -99,21 +105,22 @@ def main():
     import jax
 
     hr, sr = load_fixtures()
-    # one fixed key per val image, shared by every sampler
+    # one fixed key per (val image, seed) chain, shared by every sampler
+    n = len(PROTO["val_ids"]) * args.seeds
     base = jax.random.PRNGKey(42)
-    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
-        np.arange(len(PROTO["val_ids"])))
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(np.arange(n))
 
     runs = []
     for name, cfg in [
         ("ancestral_T2000", {}),
+        ("dpm++_sde_200", {"sampler": "dpm++", "sampler_steps": 200}),
         ("dpm++_sde_100", {"sampler": "dpm++", "sampler_steps": 100}),
         ("dpm++_sde_50", {"sampler": "dpm++", "sampler_steps": 50}),
         ("dpm++_sde_25", {"sampler": "dpm++", "sampler_steps": 25}),
         ("ddim_eta1_50", {"sampler": "ddim", "sampler_steps": 50,
                           "eta": 1.0}),
     ]:
-        runs.append(run_one(name, cfg, args.ckpt, hr, sr, keys))
+        runs.append(run_one(name, cfg, args.ckpt, hr, sr, keys, args.seeds))
 
     anc = runs[0]
     out = dict(
