@@ -118,7 +118,10 @@ def write_json(path, obj):
 
 # ---- torch side (the reference, imported — the baseline under test) --------
 
-def run_torch():
+def run_torch(tag="", model_seed=None):
+    """``model_seed``/``tag``: torch-side seed-ensemble runs (the same
+    yardstick as the jax ensemble — one seed per side cannot separate
+    framework effect from seed luck)."""
     import torch
 
     sys.path.insert(0, "/root/reference/model/sr3_modules")
@@ -127,8 +130,9 @@ def run_torch():
     sys.path.pop(0)
 
     p = PROTO
-    torch.manual_seed(p["model_seed"])
-    np.random.seed(p["model_seed"])
+    seed = p["model_seed"] if model_seed is None else model_seed
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     u = p["unet"]
     net = ref_unet.UNet(
         in_channel=u["in_channel"], out_channel=u["out_channel"],
@@ -161,6 +165,7 @@ def run_torch():
 
     hr, sr = load_fixtures()
     stream = batch_stream(len(hr), p["steps"], p["batch"], p["data_seed"])
+    art = os.path.join(DOCS, f"QUALITY_r04_torch{tag}.json")
     traj, losses = [], []
     t_start = time.time()
     for step, (idx, flips) in enumerate(stream, start=1):
@@ -200,21 +205,22 @@ def run_torch():
                              avg_ssim=round(float(np.mean(ssims)), 4)))
             print(f"[torch] VAL step {step}: psnr {traj[-1]['avg_psnr']} "
                   f"ssim {traj[-1]['avg_ssim']}", flush=True)
-            write_json(os.path.join(DOCS, "QUALITY_r04_torch.json"),
-                       _result("torch (reference, CPU)", traj, losses,
-                               time.time() - t_start))
-    write_json(os.path.join(DOCS, "QUALITY_r04_torch.json"),
-               _result("torch (reference, CPU)", traj, losses,
-                       time.time() - t_start))
+            write_json(art, _result("torch (reference, CPU)", traj,
+                                    losses, time.time() - t_start))
+    write_json(art, _result("torch (reference, CPU)", traj, losses,
+                            time.time() - t_start))
 
 
 # ---- jax side (this framework, production path) ----------------------------
 
-def run_jax(extend=0, dtype=None, tag=""):
+def run_jax(extend=0, dtype=None, tag="", model_seed=None):
     """``dtype``: override the model compute dtype (the trainer default is
     bf16 on TPU — networks.resolve_dtype). ``--dtype float32`` isolates
     whether a trajectory delta vs the f32-on-CPU torch side is precision
-    or framework. ``tag`` suffixes the artifact filename."""
+    or framework. ``model_seed``: override PROTO's init/noise seed — an
+    N-seed jax ensemble measures the protocol's seed spread, the yardstick
+    for reading the single-seed torch trajectory. ``tag`` suffixes the
+    artifact filename."""
     from sr3_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
@@ -230,7 +236,7 @@ def run_jax(extend=0, dtype=None, tag=""):
     os.makedirs(ckpt_dir, exist_ok=True)
     opt = dict_to_nonedict({
         "name": "headtohead_r04", "phase": "train", "gpu_ids": [0],
-        "seed": p["model_seed"],
+        "seed": p["model_seed"] if model_seed is None else model_seed,
         "path": {"checkpoint": ckpt_dir, "resume_state": None},
         "model": {
             "which_model_G": "sr3", "finetune_norm": False,
@@ -326,24 +332,55 @@ def merge():
         t = json.load(f)
     with open(os.path.join(DOCS, "QUALITY_r04_jax.json")) as f:
         j = json.load(f)
+    f32_path = os.path.join(DOCS, "QUALITY_r04_jax_f32.json")
+    jf32 = None
+    if os.path.exists(f32_path):
+        with open(f32_path) as f:
+            jf32 = json.load(f)
+    import glob as _glob
+
+    seeds = {}  # seed tag -> {step: rec}; seed 0 is the main jax artifact
+    for sp in sorted(_glob.glob(os.path.join(DOCS,
+                                             "QUALITY_r04_jax_seed*.json"))):
+        with open(sp) as f:
+            sj = json.load(f)
+        tag = os.path.basename(sp)[len("QUALITY_r04_jax_"):-len(".json")]
+        seeds[tag] = {r["step"]: r for r in sj["trajectory"]}
     jt = {r["step"]: r for r in j["trajectory"]}
+    ft = ({r["step"]: r for r in jf32["trajectory"]} if jf32 else {})
     rows = []
     for r in t["trajectory"]:
         s = r["step"]
         if s not in jt:
             continue
-        rows.append(dict(
+        row = dict(
             step=s,
             torch_psnr=r["avg_psnr"], jax_psnr=jt[s]["avg_psnr"],
             torch_ssim=r["avg_ssim"], jax_ssim=jt[s]["avg_ssim"],
             d_psnr=round(jt[s]["avg_psnr"] - r["avg_psnr"], 4),
             d_ssim=round(jt[s]["avg_ssim"] - r["avg_ssim"], 4),
-        ))
+        )
+        if s in ft:
+            row["jax_f32_psnr"] = ft[s]["avg_psnr"]
+            row["jax_f32_ssim"] = ft[s]["avg_ssim"]
+            row["d_psnr_f32"] = round(ft[s]["avg_psnr"] - r["avg_psnr"], 4)
+            row["d_ssim_f32"] = round(ft[s]["avg_ssim"] - r["avg_ssim"], 4)
+        ens = [jt[s]["avg_psnr"]] + [sd[s]["avg_psnr"]
+                                     for sd in seeds.values() if s in sd]
+        if len(ens) > 1:
+            row["jax_seed_ensemble_psnr"] = ens
+            row["torch_inside_jax_ensemble"] = (
+                min(ens) <= r["avg_psnr"] <= max(ens)
+            )
+        rows.append(row)
     out = dict(
         what=("Paired PSNR/SSIM trajectories, torch reference vs sr3_tpu, "
               "identical data stream and hyperparameters "
               "(tools/quality_headtohead.py). Positive delta = sr3_tpu "
-              "ahead."),
+              "ahead. jax = production default (bf16 compute on TPU); "
+              "jax_f32 = same run at float32 compute, isolating precision "
+              "from framework; jax_seedN = init/noise-seed ensemble, the "
+              "yardstick for the single-seed torch trajectory's spread."),
         proto=t.get("proto"), unet=t.get("unet"),
         paired=rows,
         final=rows[-1] if rows else None,
@@ -351,9 +388,23 @@ def merge():
                               4) if rows else None,
         mean_abs_d_ssim=round(float(np.mean([abs(r["d_ssim"]) for r in rows])),
                               4) if rows else None,
+        mean_abs_d_psnr_f32=round(float(np.mean(
+            [abs(r["d_psnr_f32"]) for r in rows if "d_psnr_f32" in r])), 4
+        ) if ft else None,
+        # learning-dynamics agreement: mean training loss over the last
+        # half of the budget (torch records per-step; jax per-50-step
+        # instantaneous samples of the same window)
+        loss_last_half={
+            "torch": round(float(np.mean(
+                t["loss_per50"][t["proto"]["steps"] // 2:])), 4),
+            "jax": round(float(np.mean(
+                j["loss_per50"][t["proto"]["steps"] // 100:
+                                t["proto"]["steps"] // 50])), 4),
+        },
         torch_wall_seconds=t["wall_seconds"],
         jax_wall_seconds=j["wall_seconds"],
-        sides={"torch": t["side"], "jax": j["side"]},
+        sides={"torch": t["side"], "jax": j["side"],
+               **({"jax_f32": jf32["side"]} if jf32 else {})},
     )
     write_json(os.path.join(DOCS, "QUALITY_r04.json"), out)
     print(json.dumps(rows, indent=1))
@@ -371,13 +422,17 @@ if __name__ == "__main__":
                          "default = trainer's bf16-on-TPU)")
     ap.add_argument("--tag", default="",
                     help="jax side: artifact filename suffix, e.g. _f32")
+    ap.add_argument("--model-seed", type=int, default=None,
+                    help="jax side: override PROTO model_seed (seed "
+                         "ensemble for the spread yardstick)")
     ap.add_argument("--merge", action="store_true")
     args = ap.parse_args()
     if args.merge:
         merge()
     elif args.side == "torch":
-        run_torch()
+        run_torch(tag=args.tag, model_seed=args.model_seed)
     elif args.side == "jax":
-        run_jax(extend=args.extend, dtype=args.dtype, tag=args.tag)
+        run_jax(extend=args.extend, dtype=args.dtype, tag=args.tag,
+                model_seed=args.model_seed)
     else:
         ap.error("need --side or --merge")
