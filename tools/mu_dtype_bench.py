@@ -75,11 +75,19 @@ def bench_speed(mu_dtype, batch=16, iters=30):
     sr = rng.standard_normal((batch, 128, 128, 3)).astype(np.float32) * 0.5
     t.feed_data({"HR": hr, "SR": sr})
     t.optimize_parameters()  # compile + warm
-    jax.block_until_ready(t.state.params)
+
+    def sync():
+        # force a REAL device->host readback: on the axon tunnel,
+        # block_until_ready on donated-state chains can return before the
+        # work completes (verify-skill timing gotcha), inflating img/s ~3x
+        leaf = jax.tree_util.tree_leaves(t.state.params)[0]
+        return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
+    sync()
     t0 = time.time()
     for _ in range(iters):
         t.optimize_parameters()
-    jax.block_until_ready(t.state.params)
+    sync()
     dt = (time.time() - t0) / iters
     rec = dict(mu_dtype=mu_dtype or "float32", ms_per_step=round(dt * 1e3, 2),
                img_per_s=round(batch / dt, 1), batch=batch)
