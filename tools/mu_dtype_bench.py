@@ -156,6 +156,7 @@ def main():
     a, b = out["speed_flagship_b16"]
     out["speedup_bf16_mu"] = round(a["ms_per_step"] / b["ms_per_step"], 4)
 
+    path = os.path.join(REPO, "docs", "MU_DTYPE_r04.json")
     if not args.skip_quality:
         for mu in (None, "bfloat16"):
             out["quality_protocol"].append(train_quality(mu, args.steps))
@@ -164,8 +165,14 @@ def main():
             qb["avg_psnr"] - qa["avg_psnr"], 4)
         out["d_ssim_bf16_minus_f32"] = round(
             qb["avg_ssim"] - qa["avg_ssim"], 4)
-
-    path = os.path.join(REPO, "docs", "MU_DTYPE_r04.json")
+    elif os.path.exists(path):
+        # speed-only rerun: keep the already-measured quality half
+        with open(path) as f:
+            prev = json.load(f)
+        for k in ("quality_protocol", "d_psnr_bf16_minus_f32",
+                  "d_ssim_bf16_minus_f32"):
+            if k in prev:
+                out[k] = prev[k]
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

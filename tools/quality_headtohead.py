@@ -339,13 +339,20 @@ def merge():
             jf32 = json.load(f)
     import glob as _glob
 
-    seeds = {}  # seed tag -> {step: rec}; seed 0 is the main jax artifact
-    for sp in sorted(_glob.glob(os.path.join(DOCS,
-                                             "QUALITY_r04_jax_seed*.json"))):
-        with open(sp) as f:
-            sj = json.load(f)
-        tag = os.path.basename(sp)[len("QUALITY_r04_jax_"):-len(".json")]
-        seeds[tag] = {r["step"]: r for r in sj["trajectory"]}
+    def _load_seed_runs(side):
+        # seed tag -> {step: rec}; seed 0 is the side's main artifact
+        runs = {}
+        pat = os.path.join(DOCS, f"QUALITY_r04_{side}_seed*.json")
+        for sp in sorted(_glob.glob(pat)):
+            with open(sp) as f:
+                sj = json.load(f)
+            tag = os.path.basename(sp)[len(f"QUALITY_r04_{side}_"):
+                                       -len(".json")]
+            runs[tag] = {r["step"]: r for r in sj["trajectory"]}
+        return runs
+
+    seeds = _load_seed_runs("jax")
+    torch_seeds = _load_seed_runs("torch")
     jt = {r["step"]: r for r in j["trajectory"]}
     ft = ({r["step"]: r for r in jf32["trajectory"]} if jf32 else {})
     rows = []
@@ -372,6 +379,16 @@ def merge():
             row["torch_inside_jax_ensemble"] = (
                 min(ens) <= r["avg_psnr"] <= max(ens)
             )
+        tens = [r["avg_psnr"]] + [sd[s]["avg_psnr"]
+                                  for sd in torch_seeds.values() if s in sd]
+        if len(tens) > 1:
+            row["torch_seed_ensemble_psnr"] = tens
+            # the honest comparison: do the two frameworks' own seed
+            # spreads overlap at this val point?
+            if len(ens) > 1:
+                row["seed_ensembles_overlap"] = (
+                    min(ens) <= max(tens) and min(tens) <= max(ens)
+                )
         rows.append(row)
     out = dict(
         what=("Paired PSNR/SSIM trajectories, torch reference vs sr3_tpu, "
@@ -379,8 +396,10 @@ def merge():
               "(tools/quality_headtohead.py). Positive delta = sr3_tpu "
               "ahead. jax = production default (bf16 compute on TPU); "
               "jax_f32 = same run at float32 compute, isolating precision "
-              "from framework; jax_seedN = init/noise-seed ensemble, the "
-              "yardstick for the single-seed torch trajectory's spread."),
+              "from framework; jax_seedN / torch_seedN = init/noise-seed "
+              "ensembles on each side — the yardstick for whether the "
+              "cross-framework delta exceeds either framework's own seed "
+              "spread."),
         proto=t.get("proto"), unet=t.get("unet"),
         paired=rows,
         final=rows[-1] if rows else None,
@@ -391,6 +410,10 @@ def merge():
         mean_abs_d_psnr_f32=round(float(np.mean(
             [abs(r["d_psnr_f32"]) for r in rows if "d_psnr_f32" in r])), 4
         ) if ft else None,
+        seed_ensembles_overlap_frac=(round(float(np.mean(
+            [r["seed_ensembles_overlap"] for r in rows
+             if "seed_ensembles_overlap" in r])), 4)
+            if any("seed_ensembles_overlap" in r for r in rows) else None),
         # learning-dynamics agreement: mean training loss over the last
         # half of the budget (torch records per-step; jax per-50-step
         # instantaneous samples of the same window)
