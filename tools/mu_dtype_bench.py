@@ -96,7 +96,7 @@ def bench_speed(mu_dtype, batch=16, iters=30):
     return rec
 
 
-def train_quality(mu_dtype, steps):
+def train_quality(mu_dtype, steps, val_reps=1):
     import jax
 
     from sr3_tpu.training.trainer import create_model
@@ -118,19 +118,32 @@ def train_quality(mu_dtype, steps):
         if step % 50 == 0:
             losses.append(round(float(t.log_dict["l_pix"]), 4))
     t.set_new_noise_schedule(p["val_schedule"], "val")
-    psnrs, ssims = [], []
+    # val_reps independent chains per image: the single-chain sigma is
+    # ~0.6 dB (docs/SAMPLER_REQUAL_r04.json), which swamps sub-dB deltas
+    psnrs, ssims = [], []          # per-image means
+    chain_psnrs, chain_ssims = [], []  # every chain, flattened
     for vid in p["val_ids"]:
-        t.feed_data({"SR": sr[vid][None], "HR": hr[vid][None]})
-        t.test(continous=False)
-        vis = t.get_current_visuals(need_LR=False)
-        ps, ss = score(vis["SR"][0], hr[vid])
-        psnrs.append(round(ps, 4))
-        ssims.append(round(ss, 4))
+        ips, iss = [], []
+        for _ in range(val_reps):
+            t.feed_data({"SR": sr[vid][None], "HR": hr[vid][None]})
+            t.test(continous=False)
+            vis = t.get_current_visuals(need_LR=False)
+            ps, ss = score(vis["SR"][0], hr[vid])
+            ips.append(ps)
+            iss.append(ss)
+        chain_psnrs += ips
+        chain_ssims += iss
+        psnrs.append(round(float(np.mean(ips)), 4))
+        ssims.append(round(float(np.mean(iss)), 4))
     rec = dict(mu_dtype=mu_dtype or "float32", loss_per50=losses,
                final_loss_mean_last5=round(float(np.mean(losses[-5:])), 4),
+               val_reps=val_reps,
                val_psnr=psnrs, val_ssim=ssims,
                avg_psnr=round(float(np.mean(psnrs)), 4),
-               avg_ssim=round(float(np.mean(ssims)), 4))
+               avg_ssim=round(float(np.mean(ssims)), 4),
+               chain_psnr_std=round(float(np.std(chain_psnrs)), 4),
+               sem_psnr=round(float(np.std(chain_psnrs)
+                                    / max(len(chain_psnrs), 1) ** 0.5), 4))
     print(json.dumps({k: v for k, v in rec.items() if k != "loss_per50"}),
           flush=True)
     del t
@@ -141,34 +154,47 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--speed-iters", type=int, default=30)
     ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--val-reps", type=int, default=1,
+                    help="independent val chains per image (single-chain "
+                         "sigma ~0.6 dB; 5 reps x 3 images -> SEM ~0.16 dB)")
     ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--skip-speed", action="store_true")
     args = ap.parse_args()
 
     from sr3_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
 
+    path = os.path.join(REPO, "docs", "MU_DTYPE_r04.json")
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+
     out = {"what": __doc__.split("\n")[0],
            "speed_flagship_b16": [], "quality_protocol": []}
-    for mu in (None, "bfloat16"):
-        out["speed_flagship_b16"].append(
-            bench_speed(mu, iters=args.speed_iters))
-    a, b = out["speed_flagship_b16"]
-    out["speedup_bf16_mu"] = round(a["ms_per_step"] / b["ms_per_step"], 4)
+    if args.skip_speed:
+        out["speed_flagship_b16"] = prev.get("speed_flagship_b16", [])
+        if "speedup_bf16_mu" in prev:
+            out["speedup_bf16_mu"] = prev["speedup_bf16_mu"]
+    else:
+        for mu in (None, "bfloat16"):
+            out["speed_flagship_b16"].append(
+                bench_speed(mu, iters=args.speed_iters))
+        a, b = out["speed_flagship_b16"]
+        out["speedup_bf16_mu"] = round(a["ms_per_step"] / b["ms_per_step"], 4)
 
-    path = os.path.join(REPO, "docs", "MU_DTYPE_r04.json")
     if not args.skip_quality:
         for mu in (None, "bfloat16"):
-            out["quality_protocol"].append(train_quality(mu, args.steps))
+            out["quality_protocol"].append(
+                train_quality(mu, args.steps, val_reps=args.val_reps))
         qa, qb = out["quality_protocol"]
         out["d_psnr_bf16_minus_f32"] = round(
             qb["avg_psnr"] - qa["avg_psnr"], 4)
         out["d_ssim_bf16_minus_f32"] = round(
             qb["avg_ssim"] - qa["avg_ssim"], 4)
-    elif os.path.exists(path):
+    else:
         # speed-only rerun: keep the already-measured quality half
-        with open(path) as f:
-            prev = json.load(f)
         for k in ("quality_protocol", "d_psnr_bf16_minus_f32",
                   "d_ssim_bf16_minus_f32"):
             if k in prev:
