@@ -124,25 +124,41 @@ class GaussianDiffusion:
 
     # ------------------------------------------------------------------ loss
 
-    def p_losses(self, params, sched: Schedule, batch, rng, train: bool = True):
+    def p_losses(self, params, sched: Schedule, batch, rng, train: bool = True,
+                 injected=None):
         """Training loss. ``batch`` holds NHWC arrays 'HR' (+'SR' if
         conditional) in [-1, 1]. Returns scalar sum-loss / (b*h*w*c),
-        identical to the reference's normalization (model/model.py:52-53)."""
+        identical to the reference's normalization (model/model.py:52-53).
+
+        ``injected``: parity-test seam (mirrors ``p_sample_step``'s noise
+        override) — a dict overriding the on-device draws so a torch and a
+        jax training step can consume bit-identical randomness. Keys:
+        ``noise`` (NHWC, like x_start) and, for sr3, ``sqrt_gamma`` (b, 1)
+        or, for ddpm, ``t`` (b,) int."""
         x_start = batch["HR"]
         b, h, w, c = x_start.shape
         key_t, key_g, key_n, key_d = jax.random.split(rng, 4)
-        noise = jax.random.normal(key_n, x_start.shape, dtype=jnp.float32)
+        if injected is not None and "noise" in injected:
+            noise = jnp.asarray(injected["noise"], jnp.float32)
+        else:
+            noise = jax.random.normal(key_n, x_start.shape, dtype=jnp.float32)
 
         if self.cond_mode == "sr3":
             # one scalar t per step, per-sample continuous gamma within bin t
-            t = jax.random.randint(key_t, (), 1, sched.num_timesteps + 1)
-            lo = sched.sqrt_alphas_cumprod_prev[t - 1]
-            hi = sched.sqrt_alphas_cumprod_prev[t]
-            sqrt_gamma = jax.random.uniform(key_g, (b, 1)) * (hi - lo) + lo
+            if injected is not None and "sqrt_gamma" in injected:
+                sqrt_gamma = jnp.asarray(injected["sqrt_gamma"], jnp.float32)
+            else:
+                t = jax.random.randint(key_t, (), 1, sched.num_timesteps + 1)
+                lo = sched.sqrt_alphas_cumprod_prev[t - 1]
+                hi = sched.sqrt_alphas_cumprod_prev[t]
+                sqrt_gamma = jax.random.uniform(key_g, (b, 1)) * (hi - lo) + lo
             x_noisy = q_sample_gamma(x_start, sqrt_gamma, noise)
             cond_in = sqrt_gamma.reshape(b)
         else:
-            t = jax.random.randint(key_t, (b,), 0, sched.num_timesteps)
+            if injected is not None and "t" in injected:
+                t = jnp.asarray(injected["t"], jnp.int32)
+            else:
+                t = jax.random.randint(key_t, (b,), 0, sched.num_timesteps)
             x_noisy = q_sample_t(sched, x_start, t, noise)
             cond_in = t.astype(jnp.float32)
 

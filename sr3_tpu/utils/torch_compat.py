@@ -244,7 +244,10 @@ def torch_state_dict_to_flax(state_dict, **unet_config):
         if k.split(".")[0] in _SCHEDULE_BUFFERS or k == "inv_freq" or \
                 k.endswith(".inv_freq"):
             continue
-        sd[k] = np.asarray(getattr(v, "numpy", lambda: v)())
+        # np.array (copy) — torch .numpy() views share storage with the
+        # live module; an in-place optimizer step would silently mutate
+        # the "transferred" params after the fact.
+        sd[k] = np.array(getattr(v, "numpy", lambda: v)())
 
     key_map = build_key_map(**unet_config)
     tree = {}

@@ -376,3 +376,110 @@ def test_diffusion_p_sample_parity(cond_mode):
         )
     )
     np.testing.assert_allclose(out_ours, out_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cond_mode", ["sr3", "ddpm"])
+def test_train_step_parity_locked_randomness(cond_mode):
+    """Step-locked TRAINING parity (round 4): identical init (transferred
+    weights), identical batch, and identical (gamma/t, noise) draws injected
+    into both frameworks' p_losses; both sides take real Adam steps. The
+    per-step loss sequences must track within float32 tolerance — this
+    certifies gradients + optimizer dynamics, not just the forward pass,
+    and is the step-locked complement to the statistical head-to-head
+    (docs/QUALITY_r04.json). Reference loss paths:
+    model/sr3_modules/diffusion.py:221-246 (np.random t/gamma draws, replayed
+    by reseeding), model/ddpm_modules/diffusion.py:278-294 (torch.randint t
+    draw, replayed by monkeypatch), + model/model.py:50-53."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sr3_tpu.models.diffusion import GaussianDiffusion
+    from sr3_tpu.models.schedule import make_schedule
+    from sr3_tpu.utils.torch_compat import torch_state_dict_to_flax
+
+    T, STEPS, LR = 10, 15, 1e-4
+    ref, ours = _build_pair(cond_mode)
+    ref.train()
+    params = torch_state_dict_to_flax(
+        {k: v.detach() for k, v in ref.state_dict().items()},
+        in_channel=SMALL["in_channel"], inner_channel=SMALL["inner_channel"],
+        channel_mults=SMALL["channel_mults"], attn_res=SMALL["attn_res"],
+        res_blocks=SMALL["res_blocks"], image_size=SMALL["image_size"],
+        cond_mode=cond_mode,
+    )
+    ref_diff = _make_ref_diffusion(cond_mode, ref, T=T, conditional=True)
+
+    sched = make_schedule({"schedule": "linear", "n_timestep": T,
+                           "linear_start": 1e-6, "linear_end": 1e-2})
+    diff = GaussianDiffusion(ours, image_size=16, conditional=True,
+                             cond_mode=cond_mode)
+
+    opt_t = torch.optim.Adam(ref.parameters(), lr=LR)
+    tx = optax.adam(LR)  # same defaults as torch.optim.Adam: b=(0.9,.999), eps=1e-8
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(7)
+    b = 2
+    hr = rng.standard_normal((b, 16, 16, 3)).astype(np.float32) * 0.5
+    sr = rng.standard_normal((b, 16, 16, 3)).astype(np.float32) * 0.5
+    batch = {"HR": jnp.asarray(hr), "SR": jnp.asarray(sr)}
+    hr_t = torch.from_numpy(np.transpose(hr, (0, 3, 1, 2)))
+    sr_t = torch.from_numpy(np.transpose(sr, (0, 3, 1, 2)))
+
+    @jax.jit
+    def jstep(params, opt_state, injected):
+        def loss_fn(p):
+            return diff.p_losses(
+                p, sched, batch, jax.random.PRNGKey(0), train=True,
+                injected=injected,
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    prev = np.asarray(ref_diff.sqrt_alphas_cumprod_prev, np.float64) \
+        if cond_mode == "sr3" else None
+    saved_randint = torch.randint
+    losses_t, losses_j = [], []
+    try:
+        for step in range(STEPS):
+            rs = np.random.RandomState(1000 + step)
+            noise = np.random.default_rng(500 + step).standard_normal(
+                (b, 16, 16, 3)).astype(np.float32)
+            if cond_mode == "sr3":
+                t = rs.randint(1, T + 1)
+                gamma = rs.uniform(prev[t - 1], prev[t],
+                                   size=b).astype(np.float32)
+                injected = {"sqrt_gamma": jnp.asarray(gamma.reshape(b, 1)),
+                            "noise": jnp.asarray(noise)}
+                # torch replays the same (t, gamma) because its p_losses
+                # draws them from the reseeded numpy global RNG
+                np.random.seed(1000 + step)
+            else:
+                t_vec = rs.randint(0, T, size=b).astype(np.int64)
+                injected = {"t": jnp.asarray(t_vec),
+                            "noise": jnp.asarray(noise)}
+                # ddpm draws t via torch.randint: patch it to our vector
+                torch.randint = (
+                    lambda *a, t_vec=t_vec, **kw: torch.from_numpy(t_vec)
+                )
+
+            noise_t = torch.from_numpy(np.transpose(noise, (0, 3, 1, 2)))
+            opt_t.zero_grad()
+            l_pix = ref_diff({"HR": hr_t, "SR": sr_t}, noise=noise_t)
+            l_pix = l_pix.sum() / int(np.prod(hr_t.shape))
+            l_pix.backward()
+            opt_t.step()
+            losses_t.append(float(l_pix.item()))
+
+            params, opt_state, lj = jstep(params, opt_state, injected)
+            losses_j.append(float(lj))
+    finally:
+        torch.randint = saved_randint
+
+    losses_t = np.asarray(losses_t)
+    losses_j = np.asarray(losses_j)
+    # step 0 is pure forward+grad parity; later steps compound Adam drift
+    assert abs(losses_t[0] - losses_j[0]) < 2e-4, (losses_t[0], losses_j[0])
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-3, atol=5e-4)
