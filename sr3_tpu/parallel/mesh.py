@@ -65,7 +65,11 @@ def host_fetch(tree):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
 
-            return np.asarray(multihost_utils.process_allgather(x))
+            # tiled=True: reassemble the GLOBAL value (shards concatenated
+            # in sharding order) — the only mode jax supports for
+            # non-fully-addressable arrays; the default (stack a leading
+            # process dim) raises on them.
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return jax.device_get(x)
 
     return jax.tree_util.tree_map(one, tree)

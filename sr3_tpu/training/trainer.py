@@ -657,9 +657,12 @@ class Trainer:
 
         Multi-host: collective — every process must call this together.
         The state is gathered to every host (host_fetch's process_allgather
-        covers tensor-parallel-sharded leaves too), then process 0 alone
-        performs the write so N processes never race on one orbax path.
-        The durability barrier lives in wait_for_checkpoints()."""
+        covers tensor-parallel-sharded leaves too), then every process
+        calls the orbax save: orbax's own multiprocess protocol writes
+        host-local (numpy) trees from the primary host only and runs
+        internal barriers that REQUIRE all processes to participate — a
+        process-0-only save deadlocks on the '_Checkpointer:save_start'
+        sync. The durability barrier lives in wait_for_checkpoints()."""
         ckpt_dir = self.opt["path"]["checkpoint"]
         gen_path = os.path.abspath(
             os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_gen")
@@ -668,8 +671,6 @@ class Trainer:
             os.path.join(ckpt_dir, f"I{iter_step}_E{epoch}_opt")
         )
         state = host_fetch(self.state)
-        if not is_primary():
-            return
         ckptr = self._ckpt()
         ckptr.wait_until_finished()  # previous save, if still in flight
         gen = {"params": state.params}
@@ -686,14 +687,15 @@ class Trainer:
             },
             force=True,
         )
-        logger.info("Saved model in [%s] ...", gen_path)
+        if is_primary():
+            logger.info("Saved model in [%s] ...", gen_path)
 
     def wait_for_checkpoints(self):
         """Block until in-flight async checkpoint writes are durable.
 
-        Multi-host: collective. Process 0 drains its writer, then all
-        processes rendezvous, so no process can race ahead and resume from
-        a checkpoint that is not yet on disk."""
+        Multi-host: collective. Every process drains its (shared) orbax
+        writer, then all processes rendezvous, so no process can race
+        ahead and resume from a checkpoint that is not yet on disk."""
         if getattr(self, "_ckptr", None) is not None:
             self._ckptr.wait_until_finished()
         if jax.process_count() > 1:

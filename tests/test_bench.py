@@ -55,9 +55,9 @@ def test_bench_emits_metrics_headline_last(tmp_path):
     assert len(lines) == 3, out.stdout
     metrics = [json.loads(l) for l in lines]
     assert metrics[0]["metric"] == "bench_tiny_train_step_throughput"
-    assert metrics[1]["metric"] == (
-        "bench_tiny_sampling_dpmpp4_matched_quality_throughput"
-    )
+    # renamed from *_matched_quality_* after the T=2000 requal
+    # (docs/SAMPLER_REQUAL_r04.json): PSNR matches, SSIM sits -0.05
+    assert metrics[1]["metric"] == "bench_tiny_sampling_dpmpp4_throughput"
     # the headline (driver-recorded) line is LAST
     assert metrics[-1]["metric"] == "bench_tiny_sampling_2000step_throughput"
     for m in metrics:
