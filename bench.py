@@ -44,9 +44,18 @@ BENCH_TRAIN_ITERS (default 10), BENCH_SKIP_TRAIN=1, BENCH_CONFIG,
 SR3_PLATFORM (force backend), BENCH_INIT_TIMEOUT (default 300 s — abort
 with exit 3 if backend init hangs, e.g. a dead TPU tunnel),
 BENCH_DPMPP_STEPS (default 50) / BENCH_SKIP_DPMPP=1 for the fewer-step
-SDE-DPM-Solver++ sampling line (quality evidence: docs/SAMPLER_REQUAL_r04
-.json — PSNR matches the T=2000 ancestral chain within noise, SSIM reads
-~0.05 lower on the head-to-head overfit model).
+SDE-DPM-Solver++ sampling line, BENCH_DDIM_STEPS (default 50) /
+BENCH_SKIP_DDIM=1 for the matched-quality stochastic-DDIM line.
+
+Fewer-step quality evidence (docs/SAMPLER_REQUAL_r04.json — 8 noise
+chains x 3 val images per sampler at T=2000, identical per-image keys,
+eta explicit): on the h2h model DDIM eta=1 @ 50 NFE matches the
+ancestral chain on BOTH metrics (d_psnr +0.11 at SE~0.34, d_ssim -0.007
+at SE~0.006) while DPM++(2M) @ 50 NFE loses SSIM decisively in both
+variants (sde eta=1: -0.054; ode: -0.044). The r03 100k-step model
+showed the REVERSE ranking at T=200 (docs/SAMPLER_EVAL_r03.json), so
+fewer-step quality is model-dependent and neither line claims
+"matched quality"; both report throughput with their measured caveats.
 """
 
 import json
@@ -235,13 +244,57 @@ def main():
     x_sr = jnp.zeros((batch, res, res, 3), jnp.float32)
     sched = jax.device_put(sched)  # see bench_train: no per-call transfers
 
-    # ---- fewer-step sampling: SDE-DPM-Solver++(2M), 50 NFE over the same
-    # T=2000 schedule. Quality vs the full ancestral chain (multi-seed
-    # re-validation at T=2000, docs/SAMPLER_REQUAL_r04.json): PSNR matches
-    # within noise (-0.18 dB at sigma=1.3); SSIM reads ~0.05 lower on the
-    # weak head-to-head overfit model, so the line is labeled plain
-    # throughput, not "matched quality". The reference ships no fewer-step
+    # ---- fewer-step sampling #1: stochastic DDIM (eta=1), 50 NFE over the
+    # same T=2000 schedule. On the h2h model it matches the full ancestral
+    # chain on both PSNR (+0.11, SE~0.34) and SSIM (-0.007, SE~0.006) over
+    # 8 noise chains x 3 val images (docs/SAMPLER_REQUAL_r04.json) — but
+    # fewer-step quality is model-dependent (the r03 100k-step model showed
+    # the reverse ranking at T=200), so no matched_quality label without
+    # strong-model T=2000 evidence. The reference ships no fewer-step
     # sampler at all — its serving rate stays the 2000-step chain.
+    if os.environ.get("BENCH_SKIP_DDIM", "0") != "1":
+        dd_steps = int(os.environ.get("BENCH_DDIM_STEPS", 50))
+        ddim_fn = jax.jit(
+            lambda p, s, x, k: diffusion.ddim_sample_loop(
+                p, s, x, k, n_steps=dd_steps, eta=1.0
+            )
+        )
+        ddim_c = ddim_fn.lower(
+            params, sched, x_sr, jax.random.PRNGKey(1)
+        ).compile()
+        out = ddim_c(params, sched, x_sr, jax.random.PRNGKey(1))
+        out.block_until_ready()
+        t0 = time.time()
+        for i in range(repeats):
+            out = ddim_c(params, sched, x_sr, jax.random.PRNGKey(2 + i))
+            out.block_until_ready()
+        ddt = (time.time() - t0) / repeats
+        print(
+            f"# ddim eta=1 batch={batch} nfe={dd_steps} "
+            f"time/batch={ddt:.2f}s",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"{stem}_sampling_ddim{dd_steps}_eta1_throughput",
+            "value": round(batch / ddt, 4),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(
+                batch / ddt / BASELINE_1080TI_SAMPLING_IMG_PER_SEC, 2
+            ),
+            "nfe": dd_steps,
+            "batch": batch,
+            "quality_vs_ancestral_T2000": (
+                "d_psnr +0.11 (SE~0.34), d_ssim -0.007 (SE~0.006), "
+                "8 chains x 3 images (docs/SAMPLER_REQUAL_r04.json)"
+            ),
+        }))
+
+    # ---- fewer-step sampling #2: SDE-DPM-Solver++(2M), 50 NFE over the
+    # same T=2000 schedule. Plain throughput line: at 50 NFE it matches
+    # ancestral PSNR within noise but loses SSIM decisively on this
+    # eps-model (eta=1: -0.054, SE~0.006; the eta=0 ODE variant -0.044 —
+    # docs/SAMPLER_REQUAL_r04.json, corrected second pass with explicit
+    # eta), so no matched_quality label.
     if os.environ.get("BENCH_SKIP_DPMPP", "0") != "1":
         dsteps = int(os.environ.get("BENCH_DPMPP_STEPS", 50))
         dfn = jax.jit(
@@ -273,8 +326,8 @@ def main():
             "nfe": dsteps,
             "batch": batch,
             "quality_vs_ancestral_T2000": (
-                "PSNR within noise, SSIM -0.05 on the h2h overfit model "
-                "(docs/SAMPLER_REQUAL_r04.json)"
+                "PSNR within noise, SSIM -0.054 (SE~0.006) on the h2h "
+                "overfit model (docs/SAMPLER_REQUAL_r04.json)"
             ),
         }))
     # sched is passed as an ARGUMENT, never closed over: closure embeds the

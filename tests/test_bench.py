@@ -45,6 +45,7 @@ def test_bench_emits_metrics_headline_last(tmp_path):
         "BENCH_TRAIN_BATCH": "2",
         "BENCH_TRAIN_ITERS": "2",
         "BENCH_DPMPP_STEPS": "4",
+        "BENCH_DDIM_STEPS": "4",
     }
     out = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, env=env,
@@ -52,12 +53,14 @@ def test_bench_emits_metrics_headline_last(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 3, out.stdout
+    assert len(lines) == 4, out.stdout
     metrics = [json.loads(l) for l in lines]
     assert metrics[0]["metric"] == "bench_tiny_train_step_throughput"
-    # renamed from *_matched_quality_* after the T=2000 requal
-    # (docs/SAMPLER_REQUAL_r04.json): PSNR matches, SSIM sits -0.05
-    assert metrics[1]["metric"] == "bench_tiny_sampling_dpmpp4_throughput"
+    # fewer-step lines are plain *_throughput — no matched_quality label:
+    # the T=2000 requal (docs/SAMPLER_REQUAL_r04.json, eta explicit) and
+    # the r03 T=200 eval rank the samplers OPPOSITELY on different models
+    assert metrics[1]["metric"] == "bench_tiny_sampling_ddim4_eta1_throughput"
+    assert metrics[2]["metric"] == "bench_tiny_sampling_dpmpp4_throughput"
     # the headline (driver-recorded) line is LAST
     assert metrics[-1]["metric"] == "bench_tiny_sampling_2000step_throughput"
     for m in metrics:

@@ -119,7 +119,8 @@ def train_quality(mu_dtype, steps, val_reps=1):
             losses.append(round(float(t.log_dict["l_pix"]), 4))
     t.set_new_noise_schedule(p["val_schedule"], "val")
     # val_reps independent chains per image: the single-chain sigma is
-    # ~0.6 dB (docs/SAMPLER_REQUAL_r04.json), which swamps sub-dB deltas
+    # ~0.6-1.2 dB depending on model/schedule (docs/SAMPLER_REQUAL_r04
+    # .json std_psnr), which swamps sub-dB deltas
     psnrs, ssims = [], []          # per-image means
     chain_psnrs, chain_ssims = [], []  # every chain, flattened
     for vid in p["val_ids"]:

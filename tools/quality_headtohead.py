@@ -213,14 +213,18 @@ def run_torch(tag="", model_seed=None):
 
 # ---- jax side (this framework, production path) ----------------------------
 
-def run_jax(extend=0, dtype=None, tag="", model_seed=None):
+def run_jax(extend=0, dtype=None, tag="", model_seed=None, resume=None):
     """``dtype``: override the model compute dtype (the trainer default is
     bf16 on TPU — networks.resolve_dtype). ``--dtype float32`` isolates
     whether a trajectory delta vs the f32-on-CPU torch side is precision
     or framework. ``model_seed``: override PROTO's init/noise seed — an
     N-seed jax ensemble measures the protocol's seed spread, the yardstick
     for reading the single-seed torch trajectory. ``tag`` suffixes the
-    artifact filename."""
+    artifact filename. ``resume``: checkpoint prefix (an earlier --extend
+    save, e.g. .../I21600_E1) to continue from — params + Adam state are
+    restored and the deterministic data stream is fast-forwarded past the
+    restored step, so the run is the exact continuation of the original;
+    use with --extend and a non-seed --tag (e.g. _strong)."""
     from sr3_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
@@ -237,7 +241,7 @@ def run_jax(extend=0, dtype=None, tag="", model_seed=None):
     opt = dict_to_nonedict({
         "name": "headtohead_r04", "phase": "train", "gpu_ids": [0],
         "seed": p["model_seed"] if model_seed is None else model_seed,
-        "path": {"checkpoint": ckpt_dir, "resume_state": None},
+        "path": {"checkpoint": ckpt_dir, "resume_state": resume},
         "model": {
             "which_model_G": "sr3", "finetune_norm": False,
             "dtype": dtype,
@@ -288,7 +292,16 @@ def run_jax(extend=0, dtype=None, tag="", model_seed=None):
               f"ssim {rec['avg_ssim']}", flush=True)
         return rec
 
+    start = int(getattr(trainer, "begin_step", 0) or 0) if resume else 0
+    assert start < total, (
+        f"resume step {start} already >= target {total}; raise --extend"
+    )
+    if start:
+        print(f"[jax] resumed at step {start}, continuing to {total}",
+              flush=True)
     for step, (idx, flips) in enumerate(stream, start=1):
+        if step <= start:
+            continue  # fast-forward the deterministic stream past the ckpt
         h, s = make_batch(hr, sr, idx, flips)
         trainer.feed_data({"HR": h, "SR": s})
         trainer.optimize_parameters()
@@ -297,6 +310,10 @@ def run_jax(extend=0, dtype=None, tag="", model_seed=None):
             print(f"[jax] step {step}/{total} loss {losses[-1]:.4f} "
                   f"({time.time() - t_start:.0f}s)", flush=True)
         if step <= p["steps"] and step % p["val_every"] == 0:
+            traj.append(validate(step))
+            write_json(art, _result(side_label, traj, losses,
+                                    time.time() - t_start))
+        elif step > p["steps"] and step % 10000 == 0:
             traj.append(validate(step))
             write_json(art, _result(side_label, traj, losses,
                                     time.time() - t_start))
@@ -448,6 +465,10 @@ if __name__ == "__main__":
     ap.add_argument("--model-seed", type=int, default=None,
                     help="jax side: override PROTO model_seed (seed "
                          "ensemble for the spread yardstick)")
+    ap.add_argument("--resume", default=None,
+                    help="jax side: checkpoint prefix from an earlier "
+                         "--extend save to continue from (data stream is "
+                         "fast-forwarded; use a non-seed --tag)")
     ap.add_argument("--merge", action="store_true")
     args = ap.parse_args()
     if args.merge:
@@ -456,6 +477,6 @@ if __name__ == "__main__":
         run_torch(tag=args.tag, model_seed=args.model_seed)
     elif args.side == "jax":
         run_jax(extend=args.extend, dtype=args.dtype, tag=args.tag,
-                model_seed=args.model_seed)
+                model_seed=args.model_seed, resume=args.resume)
     else:
         ap.error("need --side or --merge")
