@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from sr3_tpu.ops.attention import self_attention
 from sr3_tpu.ops.conv_fused import gn_silu_conv3x3
+from sr3_tpu.ops.dropout import dropout
 from sr3_tpu.ops.groupnorm import group_norm_swish
 
 
@@ -155,7 +156,14 @@ class Block(nn.Module):
             x = x + pre_bias[:, None, None, :].astype(x.dtype)
         h = group_norm_swish(x, gn_scale, gn_bias, self.groups, eps=1e-5,
                              use_pallas=self.pallas_gn)
-        h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        # mask recomputed from the key in backward (ops/dropout.py): drops
+        # ~4.8 GB of saved-mask HBM traffic from the flagship train step
+        # (docs/TRAINSCAN_r03.txt:26). SR3_DROPOUT_STORED=1 = plain dropout
+        # (A/B yardstick; bit-identical output for the same key).
+        h = dropout(
+            h, self.make_rng("dropout"), self.dropout,
+            stored=os.environ.get("SR3_DROPOUT_STORED") == "1",
+        )
         h = jax.lax.conv_general_dilated(
             h.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
             ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),

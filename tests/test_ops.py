@@ -220,3 +220,78 @@ def test_flash_attention_vjp_multiblock(rng):
     for a, r in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-3, rtol=1e-3)
+
+
+# ---- dropout with backward-pass mask recompute (ops/dropout.py) ------------
+
+@pytest.mark.quick
+def test_dropout_recompute_bitidentical_to_stored(rng):
+    """Same key -> same mask -> bit-identical outputs AND gradients between
+    the save-the-mask and recompute-in-backward implementations: the HBM
+    optimization is semantics-free (VERDICT r04 #3)."""
+    from sr3_tpu.ops.dropout import dropout_recompute, dropout_stored
+
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 32), dtype=np.float32))
+    key = jax.random.PRNGKey(17)
+    rate = 0.2
+
+    y_stored = dropout_stored(x, key, rate)
+    y_rec = dropout_recompute(x, key, rate)
+    np.testing.assert_array_equal(np.asarray(y_stored), np.asarray(y_rec))
+
+    # gradients through a nonlinear reduction must match bit-for-bit
+    f_stored = jax.grad(lambda a: jnp.sum(jnp.tanh(dropout_stored(a, key, rate))))
+    f_rec = jax.grad(lambda a: jnp.sum(jnp.tanh(dropout_recompute(a, key, rate))))
+    np.testing.assert_array_equal(np.asarray(f_stored(x)), np.asarray(f_rec(x)))
+
+
+@pytest.mark.quick
+def test_dropout_semantics(rng):
+    """Inverted scaling (x/keep where kept, 0 elsewhere), rate-0 passthrough,
+    bf16 dtype preservation — matching flax nn.Dropout / torch nn.Dropout
+    (reference sr3_modules/unet.py:80-91 applies it between swish and conv)."""
+    from sr3_tpu.ops.dropout import dropout
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64), dtype=np.float32)) + 5.0
+    key = jax.random.PRNGKey(3)
+    y = dropout(x, key, 0.2)
+    kept = np.asarray(y) != 0.0
+    np.testing.assert_allclose(np.asarray(y)[kept],
+                               (np.asarray(x) / 0.8)[kept], rtol=1e-6)
+    assert 0.6 < kept.mean() < 0.95  # keep fraction ~0.8
+    assert dropout(x, key, 0.0) is x  # rate 0: no-op, no mask drawn
+
+    xb = x.astype(jnp.bfloat16)
+    assert dropout(xb, key, 0.2).dtype == jnp.bfloat16
+
+
+@pytest.mark.quick
+def test_unet_block_dropout_paths_match(rng, monkeypatch):
+    """The UNet Block's training path produces identical loss and gradients
+    under SR3_DROPOUT_STORED=1 and the default recompute path (same rngs)."""
+    import os
+
+    from sr3_tpu.models.unet import Block
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16), dtype=np.float32))
+    blk = Block(dim_out=16, groups=4, dropout=0.3)
+    params = blk.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+
+    def loss(p, stored):
+        if stored:
+            monkeypatch.setenv("SR3_DROPOUT_STORED", "1")
+        else:
+            monkeypatch.delenv("SR3_DROPOUT_STORED", raising=False)
+        out = blk.apply(p, x, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(9)})
+        return jnp.sum(out ** 2)
+
+    l_rec, g_rec = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_sto, g_sto = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(l_rec) == float(l_sto)
+    for a, b in zip(jax.tree_util.tree_leaves(g_rec),
+                    jax.tree_util.tree_leaves(g_sto)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
