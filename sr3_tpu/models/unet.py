@@ -156,10 +156,10 @@ class Block(nn.Module):
             x = x + pre_bias[:, None, None, :].astype(x.dtype)
         h = group_norm_swish(x, gn_scale, gn_bias, self.groups, eps=1e-5,
                              use_pallas=self.pallas_gn)
-        # mask recomputed from the key in backward (ops/dropout.py): drops
-        # ~4.8 GB of saved-mask HBM traffic from the flagship train step
-        # (docs/TRAINSCAN_r03.txt:26). SR3_DROPOUT_STORED=1 = plain dropout
-        # (A/B yardstick; bit-identical output for the same key).
+        # ops/dropout.py: backward regenerates the mask from the key.
+        # Measured perf-neutral on v5e — XLA already rematerializes the
+        # key-derived mask either way (docs/TRAINSCAN_r05.txt); the
+        # SR3_DROPOUT_STORED=1 toggle reproduces that A/B.
         h = dropout(
             h, self.make_rng("dropout"), self.dropout,
             stored=os.environ.get("SR3_DROPOUT_STORED") == "1",

@@ -1,15 +1,17 @@
 """Dropout with the mask recomputed in the backward pass (VERDICT r04 #3).
 
-Standard dropout makes XLA carry the keep-mask from forward to backward as a
-saved residual — on the flagship 16->128 train step that is ~4.8 GB of the
-44.5 GB per-step HBM traffic (docs/TRAINSCAN_r03.txt:26), ~10% of a step that
-is memory-bound at 0.97x the bytes roofline. But the mask is a pure function
-of the PRNG key: ``custom_vjp`` with the KEY as the only residual lets the
-backward pass regenerate it on-chip (cheap threefry VPU work) instead of
-re-reading it from HBM. Bit-identical semantics — same key, same bernoulli
-call, same mask in both passes; ``dropout_stored`` is the reference
-implementation the equivalence tests (tests/test_ops.py) and the
-``SR3_DROPOUT_STORED=1`` A/B bench compare against.
+MEASURED NULL RESULT (docs/TRAINSCAN_r05.txt, tools/dropout_bench.py): on
+the flagship 16->128 b16 train step the recompute path is byte-identical to
+plain dropout — 53.14 vs 53.12 ms/step AND identical compiled memory
+footprints (temp 2.126 GB both modes, XLA memory_analysis). The hypothesis
+(r03's trainscan attributed ~4.8 GB of the 44.5 GB step bytes to saved
+keep-masks) is falsified at the compiler level: the mask is a pure function
+of the PRNG key in BOTH formulations, XLA CSEs the threefry between forward
+and backward and schedules the same program either way. Hand-rolling the
+rematerialization via ``custom_vjp`` (KEY as the only residual) changes
+nothing — kept as the experiment record plus the ``SR3_DROPOUT_STORED=1``
+A/B toggle that reproduces the measurement; ``dropout_stored`` is the
+yardstick the equivalence tests (tests/test_ops.py) compare against.
 
 Matches flax ``nn.Dropout`` math (keep = 1-rate; x/keep where kept, else 0):
 the reference applies torch ``nn.Dropout`` between swish and conv in every
