@@ -200,6 +200,141 @@ def bench_train(diffusion, params, sched, res, batch, iters):
     }
 
 
+def bench_train_loader(diffusion, params, sched, res, batch, iters,
+                       synthetic_step_ms):
+    """End-to-end train throughput over the REAL host data path: PNG files
+    -> LRHRDataset -> DataLoader (C++ libpng decode+collate, worker thread)
+    -> device transfer -> the same donated train step. The async dispatch
+    queue overlaps host loading with device compute, so this measures
+    whether the input pipeline can keep the chip fed (VERDICT r04 weak #5).
+    Evidence base: docs/HOSTPATH_r05.json (host-only kernel/loader rates)."""
+    import glob
+    import tempfile
+
+    import optax
+
+    from sr3_tpu.data.loader import DataLoader
+    from sr3_tpu.data.lrhr import LRHRDataset
+
+    tx = optax.adam(1e-4)
+
+    def step(p, o, s, batch, k):
+        loss, g = jax.value_and_grad(
+            lambda q: diffusion.p_losses(q, s, batch, k, train=True)
+        )(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    p = jax.tree_util.tree_map(jnp.array, params)
+    o = tx.init(p)
+    sched = jax.device_put(sched)
+    keys = [jax.random.PRNGKey(200 + i) for i in range(iters + 2)]
+
+    def sync(x):
+        return float(np.asarray(jax.device_get(x)))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # cycle the bundled fixtures into >=4 full batches of PNG triplets
+        fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "dataset", "fixtures_16_128")
+        n = max(4 * batch, 64)
+        for sub in (f"hr_{res}", f"sr_16_{res}"):
+            os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+            srcs = sorted(glob.glob(os.path.join(fix, sub, "*.png")))
+            if not srcs:
+                print(f"# train-loader bench skipped: no fixtures for {sub}",
+                      file=sys.stderr)
+                return None
+            for i in range(n):
+                os.symlink(os.path.abspath(srcs[i % len(srcs)]),
+                           os.path.join(tmp, sub, f"{i:05d}.png"))
+        ds = LRHRDataset(dataroot=tmp, datatype="img", l_resolution=16,
+                         r_resolution=res, split="train", need_LR=False,
+                         cache=False)  # force the bytes (C++ decode) path
+        workers = int(os.environ.get("BENCH_LOADER_WORKERS", 1))
+        loader = DataLoader(ds, batch_size=batch, shuffle=True,
+                            num_workers=workers, drop_last=True)
+
+        def stream():
+            while True:
+                yield from loader
+
+        it = stream()
+
+        def one(i):
+            nonlocal p, o
+            b = next(it)
+            data = {"HR": jnp.asarray(b["HR"]), "SR": jnp.asarray(b["SR"])}
+            p, o, loss = jstep(p, o, sched, data, keys[i])
+            return loss
+
+        sync(one(0))  # compile
+        sync(one(1))  # steady state
+        t0 = time.time()
+        loss = None
+        for i in range(iters):
+            loss = one(2 + i)
+        sync(loss)
+        dt = (time.time() - t0) / iters
+
+        # decomposition: the same step fed a FIXED host batch (fresh
+        # transfer per step, zero loader work) separates host->device
+        # transfer cost from decode/collate cost. Through the axon tunnel
+        # the 6.3 MB/step transfer dominates; on a real TPU VM host it is
+        # PCIe-class and negligible.
+        fixed = next(it)
+        fixed = {"HR": np.asarray(fixed["HR"]), "SR": np.asarray(fixed["SR"])}
+
+        def one_fixed(i):
+            nonlocal p, o
+            data = {"HR": jnp.asarray(fixed["HR"]),
+                    "SR": jnp.asarray(fixed["SR"])}
+            p, o, loss = jstep(p, o, sched, data, keys[i % len(keys)])
+            return loss
+
+        sync(one_fixed(0))
+        t0 = time.time()
+        for i in range(iters):
+            loss = one_fixed(1 + i)
+        sync(loss)
+        dt_transfer = (time.time() - t0) / iters
+
+    ratio = synthetic_step_ms / (dt * 1e3) if synthetic_step_ms else None
+    # loader cost is what transfer alone does NOT explain
+    loader_ms = max(0.0, (dt - dt_transfer) * 1e3)
+    print(
+        f"# train+loader batch={batch} {dt * 1e3:.2f} ms/step "
+        f"{batch / dt:.1f} img/s (synthetic {synthetic_step_ms} ms, "
+        f"transfer-only {dt_transfer * 1e3:.2f} ms)",
+        file=sys.stderr,
+    )
+    return {
+        "value": round(batch / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(batch / dt / BASELINE_1080TI_TRAIN_IMG_PER_SEC,
+                             2),
+        "batch": batch,
+        "step_ms": round(dt * 1e3, 2),
+        "transfer_only_step_ms": round(dt_transfer * 1e3, 2),
+        "loader_overhead_ms": round(loader_ms, 2),
+        "loader_workers": workers,
+        "fraction_of_synthetic_rate": round(ratio, 3) if ratio else None,
+        # input_bound: the DATA PIPELINE (decode/collate/stack) fails to keep
+        # up — transfer-dominated gaps are attributed to the link instead
+        # (through the axon tunnel that link is ~100 MB/s; a real TPU VM
+        # host moves the same 6.3 MB/step over PCIe in <1 ms)
+        "input_bound": bool(
+            ratio and ratio < 0.95
+            and loader_ms > 0.05 * (synthetic_step_ms or 0)
+        ),
+        "transfer_bound": bool(
+            ratio and ratio < 0.95
+            and loader_ms <= 0.05 * (synthetic_step_ms or 0)
+        ),
+    }
+
+
 def main():
     from sr3_tpu.models.networks import define_G, init_params
     from sr3_tpu.models.schedule import make_schedule
@@ -231,6 +366,17 @@ def main():
         print(json.dumps({
             "metric": f"{stem}_train_step_throughput", **tr,
         }))
+
+        # same step, fed by the REAL host pipeline (PNG -> C++ decode ->
+        # transfer): proves the input path sustains the synthetic rate
+        if os.environ.get("BENCH_SKIP_LOADER", "0") != "1" and res == 128:
+            tl = bench_train_loader(diffusion, params, train_sched, res,
+                                    train_batch, train_iters,
+                                    tr.get("step_ms"))
+            if tl:
+                print(json.dumps({
+                    "metric": f"{stem}_train_step_loader_throughput", **tl,
+                }))
 
     # ---- 2000-step sampling chain (headline)
     # pre-cast >=2D params to the bf16 compute dtype once, outside the

@@ -15,6 +15,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -80,7 +81,13 @@ int64_t decode_collate_normalize(const uint8_t** bufs, const int64_t* lens,
         }
     };
 
+    // SR3_DECODE_THREADS caps/pins the worker count (shared hosts, and the
+    // host-path bench's thread-scaling sweep); default is every hw thread.
     unsigned hw_threads = std::thread::hardware_concurrency();
+    if (const char* env = std::getenv("SR3_DECODE_THREADS")) {
+        long v = std::strtol(env, nullptr, 10);
+        if (v > 0) hw_threads = (unsigned)v;
+    }
     int64_t n_threads = (int64_t)(hw_threads ? hw_threads : 4);
     if (n_threads > n) n_threads = n;
     if (n_threads <= 1) {

@@ -27,7 +27,9 @@ TINY_CFG = {
             "val": {"schedule": "linear", "n_timestep": 6,
                     "linear_start": 1e-6, "linear_end": 1e-2},
         },
-        "diffusion": {"image_size": 16, "channels": 3, "conditional": True},
+        # 128x128 so the real-loader train line runs (it needs the bundled
+        # 16->128 PNG fixtures); the micro UNet keeps CPU cost trivial
+        "diffusion": {"image_size": 128, "channels": 3, "conditional": True},
     },
 }
 
@@ -53,9 +55,13 @@ def test_bench_emits_metrics_headline_last(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 4, out.stdout
+    assert len(lines) == 5, out.stdout
     metrics = [json.loads(l) for l in lines]
     assert metrics[0]["metric"] == "bench_tiny_train_step_throughput"
+    # end-to-end host-pipeline train line (PNG -> C++ decode -> step)
+    assert metrics[1]["metric"] == "bench_tiny_train_step_loader_throughput"
+    assert metrics[1]["fraction_of_synthetic_rate"] is not None
+    metrics = [metrics[0]] + metrics[2:]
     # fewer-step lines are plain *_throughput — no matched_quality label:
     # the T=2000 requal (docs/SAMPLER_REQUAL_r04.json, eta explicit) and
     # the r03 T=200 eval rank the samplers OPPOSITELY on different models
