@@ -104,27 +104,45 @@ def main():
     ap.add_argument("--sample-steps", type=int, default=20)
     ap.add_argument("--skip-noattn", action="store_true")
     ap.add_argument("--skip-xla-attn", action="store_true")
+    ap.add_argument("--skip-flash", action="store_true")
+    ap.add_argument("--skip-sample", action="store_true",
+                    help="train-step cell only (halves tunnel compile cost)")
+    ap.add_argument("--out", default=None,
+                    help="write the JSON result line to this path too")
     args = ap.parse_args()
     results = {}
 
-    print("== sr_sr3_64_512_attn (flash attention @32/64, remat)",
-          file=sys.stderr)
     from sr3_tpu.models.schedule import make_schedule
 
-    opt, diffusion, params = build("configs/sr_sr3_64_512_attn.json")
-    tsched = make_schedule(opt["model"]["beta_schedule"]["train"])
-    dt = train_step_time(diffusion, params, tsched, args.batch, args.iters)
-    results["attn_flash_train_ms"] = round(dt * 1e3, 1)
-    print(f"  train: {dt * 1e3:.1f} ms/step  {args.batch / dt:.2f} img/s",
-          file=sys.stderr)
-    st = sample_time(diffusion, params, args.batch, args.sample_steps)
-    results["attn_flash_sample_ms_per_step"] = round(st * 1e3, 2)
-    results["attn_flash_sample_imgs_per_sec_2000"] = round(
-        args.batch / (st * 2000), 4
-    )
-    print(f"  sample: {st * 1e3:.1f} ms/step "
-          f"-> {args.batch / (st * 2000):.4f} img/s @2000 steps",
-          file=sys.stderr)
+    opt0 = None
+    if not args.skip_flash:
+        print("== sr_sr3_64_512_attn (flash attention @32/64, remat)",
+              file=sys.stderr)
+        opt, diffusion, params = build("configs/sr_sr3_64_512_attn.json")
+        opt0 = opt
+        tsched = make_schedule(opt["model"]["beta_schedule"]["train"])
+        dt = train_step_time(diffusion, params, tsched, args.batch,
+                             args.iters)
+        results["attn_flash_train_ms"] = round(dt * 1e3, 1)
+        print(f"  train: {dt * 1e3:.1f} ms/step  {args.batch / dt:.2f} img/s",
+              file=sys.stderr)
+        if not args.skip_sample:
+            st = sample_time(diffusion, params, args.batch, args.sample_steps)
+            results["attn_flash_sample_ms_per_step"] = round(st * 1e3, 2)
+            results["attn_flash_sample_imgs_per_sec_2000"] = round(
+                args.batch / (st * 2000), 4
+            )
+            print(f"  sample: {st * 1e3:.1f} ms/step "
+                  f"-> {args.batch / (st * 2000):.4f} img/s @2000 steps",
+                  file=sys.stderr)
+
+    if opt0 is None:
+        from sr3_tpu.utils.config import (dict_to_nonedict,
+                                          load_json_with_comments)
+
+        opt0 = dict_to_nonedict(
+            load_json_with_comments("configs/sr_sr3_64_512_attn.json"))
+    tsched = make_schedule(opt0["model"]["beta_schedule"]["train"])
 
     if not args.skip_xla_attn:
         print("== same config, XLA (materialized) attention", file=sys.stderr)
@@ -133,11 +151,12 @@ def main():
             dt = train_step_time(dx, px, tsched, args.batch, args.iters)
             results["attn_xla_train_ms"] = round(dt * 1e3, 1)
             print(f"  train: {dt * 1e3:.1f} ms/step", file=sys.stderr)
-            st = sample_time(dx, px, args.batch, args.sample_steps)
-            results["attn_xla_sample_ms_per_step"] = round(st * 1e3, 2)
-            print(f"  sample: {st * 1e3:.1f} ms/step", file=sys.stderr)
+            if not args.skip_sample:
+                st = sample_time(dx, px, args.batch, args.sample_steps)
+                results["attn_xla_sample_ms_per_step"] = round(st * 1e3, 2)
+                print(f"  sample: {st * 1e3:.1f} ms/step", file=sys.stderr)
         except Exception as e:  # OOM is a valid result here
-            results["attn_xla_error"] = str(e)[:200]
+            results["attn_xla_error"] = str(e)[:300]
             print(f"  XLA attention failed: {e}", file=sys.stderr)
 
     if not args.skip_noattn:
@@ -147,13 +166,18 @@ def main():
         dt = train_step_time(d0, p0, tsched, args.batch, args.iters)
         results["noattn_train_ms"] = round(dt * 1e3, 1)
         print(f"  train: {dt * 1e3:.1f} ms/step", file=sys.stderr)
-        st = sample_time(d0, p0, args.batch, args.sample_steps)
-        results["noattn_sample_ms_per_step"] = round(st * 1e3, 2)
-        print(f"  sample: {st * 1e3:.1f} ms/step", file=sys.stderr)
+        if not args.skip_sample:
+            st = sample_time(d0, p0, args.batch, args.sample_steps)
+            results["noattn_sample_ms_per_step"] = round(st * 1e3, 2)
+            print(f"  sample: {st * 1e3:.1f} ms/step", file=sys.stderr)
 
     results["batch"] = args.batch
     results["backend"] = jax.default_backend()
-    print(json.dumps(results))
+    line = json.dumps(results)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
