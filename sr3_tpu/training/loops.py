@@ -125,7 +125,13 @@ def train_loop(diffusion, train_loader, opt, on_validate,
         return True
 
     try:
-        if len(train_loader) == 0:
+        device_data = bool(
+            ((opt.get("datasets") or {}).get("train") or {}).get("device_data")
+        )
+        # the device-resident path samples batches on-device WITH replacement
+        # (trainer.optimize_parameters_resident), so batch_size > dataset is
+        # legal there; only the host loader spins forever on zero batches
+        if not device_data and len(train_loader) == 0:
             raise ValueError(
                 "train loader yields zero batches: dataset has "
                 f"{len(train_loader.dataset)} samples but batch_size="
@@ -156,7 +162,7 @@ def train_loop(diffusion, train_loader, opt, on_validate,
                 if log_wandb_ckpt:
                     wandb_logger.log_checkpoint(current_epoch, current_step)
 
-        if ((opt.get("datasets") or {}).get("train") or {}).get("device_data"):
+        if device_data:
             # device-resident path: the whole train set lives on the mesh as
             # uint8; each dispatch runs spd fused optimizer steps that sample,
             # normalize, and augment batches on-device (trainer.py). No host

@@ -176,6 +176,47 @@ def test_device_resident_loop_branch():
     assert d.saves == [6]
 
 
+def test_device_resident_allows_batch_larger_than_dataset():
+    """On-device sampling draws WITH replacement, so batch_size > dataset
+    is legal on the resident path (configs/_traj100k.json trains batch 8 on
+    the 6 bundled fixtures); the zero-batches guard must only protect the
+    host-loader path."""
+
+    class ResidentFake(FakeDiffusion):
+        def load_device_dataset(self, dataset):
+            pass
+
+        def optimize_parameters_resident(self, batch_size, k_steps):
+            self.steps_run += k_steps
+
+    class Loader:
+        batch_size = 8
+        dataset = [0] * 6
+
+        def __len__(self):  # 6 samples, batch 8, drop_last
+            return 0
+
+        def __iter__(self):
+            raise AssertionError("resident loop must not touch the loader")
+
+    d = ResidentFake()
+    opt = _opt(4, spd=2)
+    opt["datasets"] = {"train": {"device_data": True}}
+    train_loop(d, Loader(), opt, lambda s, e: None)
+    assert d.steps_run == 4
+
+    # and the host-loader path still refuses to spin forever
+    class EmptyLoader(Loader):
+        def __iter__(self):
+            return iter([])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="zero batches"):
+        train_loop(FakeDiffusion(), EmptyLoader(), _opt(4),
+                   lambda s, e: None)
+
+
 def test_nan_guard_raises_by_default():
     """A non-finite loss aborts the run at the print cadence (the loop
     would otherwise train on poisoned Adam moments to n_iter)."""
