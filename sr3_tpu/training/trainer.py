@@ -733,11 +733,19 @@ class Trainer:
                 # restore against a concrete target so pytree node types
                 # survive: a bare restore() returns plain lists/dicts and the
                 # first tx.update() after resume would crash on a
-                # ScaleByAdamState that came back as a dict
+                # ScaleByAdamState that came back as a dict. The template
+                # only contributes STRUCTURE (node types, shapes, dtypes), so
+                # build it from host-side zeros instead of device_get-ing
+                # ~0.8 GB of freshly-initialized moments we are about to
+                # overwrite — the fetch was pure waste and wedged the axon
+                # tunnel deterministically on resume
                 template = {
                     "epoch": 0,
                     "iter": 0,
-                    "opt_state": host_fetch(self.state.opt_state),
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda x: np.zeros(x.shape, x.dtype),
+                        self.state.opt_state,
+                    ),
                 }
                 restored = ckptr.restore(opt_path, item=template)
                 self.begin_step = int(restored["iter"])
