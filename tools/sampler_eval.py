@@ -22,8 +22,11 @@ hardware-free runs).
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from sr3_tpu.utils.runtime import setup_runtime
 
