@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--xla", action="store_true",
                     help="use materialized XLA attention instead of flash")
+    ap.add_argument("--out", default=None,
+                    help="write the JSON result line to this path too")
     args = ap.parse_args()
 
     from sr3_tpu.models.networks import define_G, init_params
@@ -63,24 +65,30 @@ def main():
     o = tx.init(p)
     k = jax.random.PRNGKey(0)
     kind = "xla" if args.xla else "flash"
-    t0 = time.time()
-    p, o, loss = jstep(p, o, data, k)
-    jax.block_until_ready(loss)
-    print(f"# [{kind}] first train step (incl compile): "
-          f"{time.time() - t0:.1f}s", file=sys.stderr)
-    p, o, loss = jstep(p, o, data, k)
-    jax.block_until_ready(loss)
-    t0 = time.time()
-    for _ in range(args.iters):
+    result = {"batch": args.batch, "backend": jax.default_backend()}
+    try:
+        t0 = time.time()
         p, o, loss = jstep(p, o, data, k)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / args.iters
-    assert bool(jnp.isfinite(loss))
-    print(json.dumps({
-        f"attn128_{kind}_train_ms": round(dt * 1e3, 1),
-        "batch": args.batch,
-        "backend": jax.default_backend(),
-    }))
+        jax.block_until_ready(loss)
+        print(f"# [{kind}] first train step (incl compile): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        p, o, loss = jstep(p, o, data, k)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for _ in range(args.iters):
+            p, o, loss = jstep(p, o, data, k)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / args.iters
+        assert bool(jnp.isfinite(loss))
+        result[f"attn128_{kind}_train_ms"] = round(dt * 1e3, 1)
+    except Exception as e:  # OOM IS the result in the materialized regime
+        result[f"attn128_{kind}_error"] = str(e)[:300]
+        print(f"# [{kind}] failed: {str(e)[:200]}", file=sys.stderr)
+    line = json.dumps(result)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
