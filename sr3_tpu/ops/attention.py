@@ -314,8 +314,13 @@ def self_attention(q, k, v, scale, use_flash=None, interpret=False):
     """
     bh, seq, d = q.shape
     if use_flash is None:
+        # threshold from the round-5 512^2 sweep (docs/BENCH512_r05.json):
+        # at 1k/4k tokens XLA is 1-3% faster in training and up to 26%
+        # faster in batch-1 sampling (19.0 vs 25.7 ms/step), while at 16k
+        # tokens the materialized path OOMs at batch 8 — so flash engages
+        # only where it is load-bearing
         use_flash = (
-            seq >= 1024
+            seq >= 8192
             and seq % 256 == 0
             and jax.default_backend() == "tpu"
         )

@@ -26,6 +26,26 @@ def test_flash_attention_rejects_ragged_seq():
         attention_flash(q, q, q, 1.0, interpret=True)
 
 
+@pytest.mark.quick
+@pytest.mark.parametrize("seq,expect_flash", [
+    (1024, False), (4096, False),   # XLA measurably faster here (r05 sweep)
+    (8192, True), (16384, True),    # flash load-bearing (XLA OOMs at b8)
+])
+def test_auto_dispatch_threshold(monkeypatch, seq, expect_flash):
+    """The use_flash=None policy boundary pinned by docs/BENCH512_r05.json."""
+    from sr3_tpu.ops import attention as A
+
+    calls = []
+    monkeypatch.setattr(A, "attention_xla",
+                        lambda *a, **k: calls.append("xla"))
+    monkeypatch.setattr(A, "_flash_with_vjp",
+                        lambda *a, **k: lambda q, kk, v: calls.append("flash"))
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    A.self_attention(jnp.zeros((1, seq, 8)), jnp.zeros((1, seq, 8)),
+                     jnp.zeros((1, seq, 8)), 1.0, use_flash=None)
+    assert calls == (["flash"] if expect_flash else ["xla"])
+
+
 @pytest.mark.parametrize("groups,c", [(32, 128), (8, 256), (4, 128)])
 def test_group_norm_pallas_matches_xla(rng, groups, c):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, c), dtype=np.float32))
