@@ -18,13 +18,16 @@ steps. VMEM residency is O(block * d) regardless of seq — at 16384 tokens
 (the 128x128 feature map of the 64->512 model) whole-K/V-in-VMEM designs
 exceed the ~16MB VMEM budget, this one does not.
 
-Measured in-model on TPU v5e (64->512 model, bf16, max|err| vs XLA <= 1e-3):
-at 1k/4k tokens (attn_res 32/64) flash and XLA are within a few percent of
-each other; at 16384 tokens (attn_res 128) flash trains at 243 ms/step
-(batch 1) and 861 ms/step (batch 8) where the materialized XLA path is 7%
-slower at batch 1 and fails outright at batch 8 — i.e., attention at the
-128x128 feature map is practical only through this kernel, and the
-reference disabled attention at 512^2 entirely.
+Measured in-model on TPU v5e (64->512 model, bf16, max|err| vs XLA <= 1e-3;
+docs/BENCH512_r05.json, round-5 kernel stack): at 1k/4k tokens (attn_res
+32/64) the materialized XLA path is 1-3% faster in training and up to 26%
+faster in batch-1 sampling, so the auto policy dispatches XLA below 8192
+tokens; at 16384 tokens (attn_res 128) flash trains at 236.8 ms/step
+(batch 1, 7% faster than XLA's 253.6) and 834.6 ms/step (batch 8) where
+the materialized path fails to compile (works at batch 4: 567.2 ms) —
+i.e., attention at the 128x128 feature map at batch is practical only
+through this kernel, and the reference disabled attention at 512^2
+entirely.
 
 Training uses the same blockwise structure: the custom_vjp forward saves the
 per-row logsumexp and the backward runs two Pallas kernels (dK/dV gridded
