@@ -47,15 +47,18 @@ BENCH_DPMPP_STEPS (default 50) / BENCH_SKIP_DPMPP=1 for the fewer-step
 SDE-DPM-Solver++ sampling line, BENCH_DDIM_STEPS (default 50) /
 BENCH_SKIP_DDIM=1 for the matched-quality stochastic-DDIM line.
 
-Fewer-step quality evidence (docs/SAMPLER_REQUAL_r04.json — 8 noise
-chains x 3 val images per sampler at T=2000, identical per-image keys,
-eta explicit): on the h2h model DDIM eta=1 @ 50 NFE matches the
-ancestral chain on BOTH metrics (d_psnr +0.11 at SE~0.34, d_ssim -0.007
-at SE~0.006) while DPM++(2M) @ 50 NFE loses SSIM decisively in both
-variants (sde eta=1: -0.054; ode: -0.044). The r03 100k-step model
-showed the REVERSE ranking at T=200 (docs/SAMPLER_EVAL_r03.json), so
-fewer-step quality is model-dependent and neither line claims
-"matched quality"; both report throughput with their measured caveats.
+Fewer-step quality evidence — settled in round 5 on a CONVERGED model
+(docs/SAMPLER_REQUAL_r05.json: 100k-step retrain, 6 paired noise chains
+x 6 images per sampler at T=2000, identical per-image keys, eta=1):
+neither 50-NFE sampler matches the ancestral chain. DDIM eta=1 degrades
+gracefully on both metrics (d_psnr -2.50 SE 0.77, d_ssim -0.066
+SE 0.026); SDE-DPM++(2M) roughly holds PSNR (-1.77 SE 0.90) but
+collapses SSIM (0.511 vs 0.869). Earlier artifacts
+(docs/SAMPLER_REQUAL_r04.json weak model: DDIM matched;
+docs/SAMPLER_EVAL_r03.json T=200: dpm++ matched) were
+shorter-schedule / weaker-model snapshots. Both lines report plain
+throughput with the converged-model caveats; neither claims
+"matched quality".
 """
 
 import json
@@ -391,13 +394,12 @@ def main():
     sched = jax.device_put(sched)  # see bench_train: no per-call transfers
 
     # ---- fewer-step sampling #1: stochastic DDIM (eta=1), 50 NFE over the
-    # same T=2000 schedule. On the h2h model it matches the full ancestral
-    # chain on both PSNR (+0.11, SE~0.34) and SSIM (-0.007, SE~0.006) over
-    # 8 noise chains x 3 val images (docs/SAMPLER_REQUAL_r04.json) — but
-    # fewer-step quality is model-dependent (the r03 100k-step model showed
-    # the reverse ranking at T=200), so no matched_quality label without
-    # strong-model T=2000 evidence. The reference ships no fewer-step
-    # sampler at all — its serving rate stays the 2000-step chain.
+    # same T=2000 schedule. Converged-model verdict (round 5,
+    # docs/SAMPLER_REQUAL_r05.json): -2.50 dB (SE 0.77) / -0.066 SSIM
+    # (SE 0.026) vs the ancestral chain — the gracefully-degrading
+    # fewer-step choice, for drafts, not a quality match. The reference
+    # ships no fewer-step sampler at all — its serving rate stays the
+    # 2000-step chain.
     if os.environ.get("BENCH_SKIP_DDIM", "0") != "1":
         dd_steps = int(os.environ.get("BENCH_DDIM_STEPS", 50))
         ddim_fn = jax.jit(
@@ -430,17 +432,17 @@ def main():
             "nfe": dd_steps,
             "batch": batch,
             "quality_vs_ancestral_T2000": (
-                "d_psnr +0.11 (SE~0.34), d_ssim -0.007 (SE~0.006), "
-                "8 chains x 3 images (docs/SAMPLER_REQUAL_r04.json)"
+                "converged 100k model: d_psnr -2.50 (SE 0.77), d_ssim "
+                "-0.066 (SE 0.026), 6 chains x 6 images "
+                "(docs/SAMPLER_REQUAL_r05.json)"
             ),
         }))
 
     # ---- fewer-step sampling #2: SDE-DPM-Solver++(2M), 50 NFE over the
-    # same T=2000 schedule. Plain throughput line: at 50 NFE it matches
-    # ancestral PSNR within noise but loses SSIM decisively on this
-    # eps-model (eta=1: -0.054, SE~0.006; the eta=0 ODE variant -0.044 —
-    # docs/SAMPLER_REQUAL_r04.json, corrected second pass with explicit
-    # eta), so no matched_quality label.
+    # same T=2000 schedule. Plain throughput line: on the converged 100k
+    # model it roughly holds PSNR (-1.77, SE 0.90) but collapses SSIM
+    # (0.511 vs 0.869 — docs/SAMPLER_REQUAL_r05.json), so no
+    # matched_quality label; check SSIM before serving with it.
     if os.environ.get("BENCH_SKIP_DPMPP", "0") != "1":
         dsteps = int(os.environ.get("BENCH_DPMPP_STEPS", 50))
         dfn = jax.jit(
@@ -472,8 +474,8 @@ def main():
             "nfe": dsteps,
             "batch": batch,
             "quality_vs_ancestral_T2000": (
-                "PSNR within noise, SSIM -0.054 (SE~0.006) on the h2h "
-                "overfit model (docs/SAMPLER_REQUAL_r04.json)"
+                "converged 100k model: PSNR -1.77 (SE 0.90), SSIM "
+                "collapses 0.511 vs 0.869 (docs/SAMPLER_REQUAL_r05.json)"
             ),
         }))
     # sched is passed as an ARGUMENT, never closed over: closure embeds the
