@@ -51,8 +51,8 @@ Fewer-step quality evidence — settled in round 5 on a CONVERGED model
 (docs/SAMPLER_REQUAL_r05.json: 100k-step retrain, 6 paired noise chains
 x 6 images per sampler at T=2000, identical per-image keys, eta=1):
 neither 50-NFE sampler matches the ancestral chain. DDIM eta=1 degrades
-gracefully on both metrics (d_psnr -2.50 SE 0.77, d_ssim -0.066
-SE 0.026); SDE-DPM++(2M) roughly holds PSNR (-1.77 SE 0.90) but
+gracefully on both metrics (d_psnr -2.50 SE 0.80, d_ssim -0.066
+SE 0.026); SDE-DPM++(2M) roughly holds PSNR (-1.77 SE 1.02) but
 collapses SSIM (0.511 vs 0.869). Earlier artifacts
 (docs/SAMPLER_REQUAL_r04.json weak model: DDIM matched;
 docs/SAMPLER_EVAL_r03.json T=200: dpm++ matched) were
@@ -395,8 +395,8 @@ def main():
 
     # ---- fewer-step sampling #1: stochastic DDIM (eta=1), 50 NFE over the
     # same T=2000 schedule. Converged-model verdict (round 5,
-    # docs/SAMPLER_REQUAL_r05.json): -2.50 dB (SE 0.77) / -0.066 SSIM
-    # (SE 0.026) vs the ancestral chain — the gracefully-degrading
+    # docs/SAMPLER_REQUAL_r05.json): -2.50 dB (SE 0.80) / -0.066 SSIM
+    # (SE 0.026, cluster-robust) vs the ancestral chain — the gracefully-degrading
     # fewer-step choice, for drafts, not a quality match. The reference
     # ships no fewer-step sampler at all — its serving rate stays the
     # 2000-step chain.
@@ -432,15 +432,15 @@ def main():
             "nfe": dd_steps,
             "batch": batch,
             "quality_vs_ancestral_T2000": (
-                "converged 100k model: d_psnr -2.50 (SE 0.77), d_ssim "
-                "-0.066 (SE 0.026), 6 chains x 6 images "
+                "converged 100k model: d_psnr -2.50 (SE 0.80), d_ssim "
+                "-0.066 (SE 0.026, cluster-robust), 6 chains x 6 images "
                 "(docs/SAMPLER_REQUAL_r05.json)"
             ),
         }))
 
     # ---- fewer-step sampling #2: SDE-DPM-Solver++(2M), 50 NFE over the
     # same T=2000 schedule. Plain throughput line: on the converged 100k
-    # model it roughly holds PSNR (-1.77, SE 0.90) but collapses SSIM
+    # model it roughly holds PSNR (-1.77, SE 1.02) but collapses SSIM
     # (0.511 vs 0.869 — docs/SAMPLER_REQUAL_r05.json), so no
     # matched_quality label; check SSIM before serving with it.
     if os.environ.get("BENCH_SKIP_DPMPP", "0") != "1":
@@ -474,7 +474,7 @@ def main():
             "nfe": dsteps,
             "batch": batch,
             "quality_vs_ancestral_T2000": (
-                "converged 100k model: PSNR -1.77 (SE 0.90), SSIM "
+                "converged 100k model: PSNR -1.77 (SE 1.02), SSIM "
                 "collapses 0.511 vs 0.869 (docs/SAMPLER_REQUAL_r05.json)"
             ),
         }))

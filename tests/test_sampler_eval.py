@@ -113,6 +113,11 @@ def test_sampler_eval_cli(tmp_path, monkeypatch, capsys):
     assert "d_psnr_vs_first" not in base
     dp = np.asarray(ddim["psnr_db"]) - np.asarray(base["psnr_db"])
     assert ddim["d_psnr_vs_first"] == pytest.approx(dp.mean(), abs=0.01)
+    # cluster-robust SE: per-image mean deltas, ddof=1 over images
+    pi = dp.mean(axis=1)
+    assert ddim["d_psnr_se_cluster"] == pytest.approx(
+        pi.std(ddof=1) / np.sqrt(2), abs=0.01)
+    assert "d_ssim_se_cluster" in ddim
     assert ddim["d_ssim_vs_first"] == pytest.approx(
         (np.asarray(ddim["ssim"]) - np.asarray(base["ssim"])).mean(),
         abs=1e-3)
@@ -121,3 +126,13 @@ def test_sampler_eval_cli(tmp_path, monkeypatch, capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     assert len(lines) == 2
+
+    # a non-ddpm spec without :steps must refuse up front (it would
+    # otherwise inherit the previous sampler's steps and record nfe=0)
+    import sampler_eval
+    monkeypatch.setattr(sys, "argv", [
+        "sampler_eval.py", "--config", str(cfg), "--resume", resume,
+        "--samplers", "dpm++",
+    ])
+    with pytest.raises(SystemExit):
+        sampler_eval.main()

@@ -118,7 +118,11 @@ def main():
     if not args.skip_flash:
         print("== sr_sr3_64_512_attn (flash attention @32/64, remat)",
               file=sys.stderr)
-        opt, diffusion, params = build("configs/sr_sr3_64_512_attn.json")
+        # use_flash=True explicitly: since r05 the config defers to the
+        # auto policy, which dispatches XLA at 32/64-res token counts —
+        # this cell must pin the flash kernel or it measures XLA twice
+        opt, diffusion, params = build("configs/sr_sr3_64_512_attn.json",
+                                       use_flash=True)
         opt0 = opt
         tsched = make_schedule(opt["model"]["beta_schedule"]["train"])
         dt = train_step_time(diffusion, params, tsched, args.batch,
@@ -155,6 +159,8 @@ def main():
                 st = sample_time(dx, px, args.batch, args.sample_steps)
                 results["attn_xla_sample_ms_per_step"] = round(st * 1e3, 2)
                 print(f"  sample: {st * 1e3:.1f} ms/step", file=sys.stderr)
+        except AssertionError:  # non-finite loss is a bug, not a bench cell
+            raise
         except Exception as e:  # OOM is a valid result here
             results["attn_xla_error"] = str(e)[:300]
             print(f"  XLA attention failed: {e}", file=sys.stderr)

@@ -81,6 +81,8 @@ def main():
         dt = (time.time() - t0) / args.iters
         assert bool(jnp.isfinite(loss))
         result[f"attn128_{kind}_train_ms"] = round(dt * 1e3, 1)
+    except AssertionError:  # non-finite loss is a bug, not a bench cell
+        raise
     except Exception as e:  # OOM IS the result in the materialized regime
         result[f"attn128_{kind}_error"] = str(e)[:300]
         print(f"# [{kind}] failed: {str(e)[:200]}", file=sys.stderr)

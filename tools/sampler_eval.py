@@ -70,15 +70,22 @@ def main():
     val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
     items = list(val_loader)
 
+    import copy
+
     results = []
     for spec in args.samplers:
         name, _, steps = spec.partition(":")
+        if name != "ddpm" and not steps:
+            # without an explicit count the previous sampler's steps would
+            # leak through the shared opt and nfe would be recorded as 0
+            ap.error(f"sampler spec '{spec}' needs an explicit :steps")
         steps = int(steps or 0)
-        opt["model"]["diffusion"]["sampler"] = name
-        if steps and name != "ddpm":
-            opt["model"]["diffusion"]["sampler_steps"] = steps
-        opt["model"]["diffusion"]["eta"] = args.eta
-        t = Trainer(opt, mesh=create_mesh(num_data=1))
+        sopt = copy.deepcopy(opt)  # no state leaks between samplers
+        sopt["model"]["diffusion"]["sampler"] = name
+        if name != "ddpm":
+            sopt["model"]["diffusion"]["sampler_steps"] = steps
+        sopt["model"]["diffusion"]["eta"] = args.eta
+        t = Trainer(sopt, mesh=create_mesh(num_data=1))
         t.set_new_noise_schedule(sched_opt, "val")
         # reps-major, image-minor: the PRNG split order (one split per
         # test() call) must be identical across samplers for key pairing
@@ -120,6 +127,16 @@ def main():
             row["d_psnr_se"] = round(float(dp.std() / np.sqrt(dp.size)), 3)
             row["d_ssim_vs_first"] = round(float(ds.mean()), 4)
             row["d_ssim_se"] = round(float(ds.std() / np.sqrt(ds.size)), 4)
+            # chains of one image share that image, so the flat SE above
+            # overstates the effective n; the cluster-robust SE collapses
+            # each image to its mean delta first (ddof=1 across images)
+            if dp.ndim == 2 and dp.shape[0] > 1:
+                pi, si = dp.mean(axis=1), ds.mean(axis=1)
+                n_img = dp.shape[0]
+                row["d_psnr_se_cluster"] = round(
+                    float(pi.std(ddof=1) / np.sqrt(n_img)), 3)
+                row["d_ssim_se_cluster"] = round(
+                    float(si.std(ddof=1) / np.sqrt(n_img)), 4)
         results.append(row)
         print(json.dumps(row), flush=True)
 
