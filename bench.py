@@ -33,6 +33,14 @@ measured and INCREASES both bytes (50.2 GB) and time (67 ms): XLA's
 saved-activation schedule is already optimal. Larger batches plateau at
 the same img/s (b32: 286 img/s at 0.81x HBM).
 
+Sampling-chain roofline (docs/SAMPLESCAN_r05.txt, round 5): at the
+batch-8 knee the in-scan step is bytes-bound (compute floor 3.6 ms,
+upper-bound bytes estimate 5.8 ms, measured ~7.1 ms) -> >=0.82x of the
+HBM roofline; ~0.53 MFU is the operating roofline for this model.
+Pre-casting params to bf16 for the chain is a measured NULL — XLA
+hoists the f32->bf16 weight converts out of the lax.scan, so each step
+already reads bf16 weights.
+
 Bench batches are the measured throughput knees of the v5e batch sweep
 (tools/perfscan.py, docs/PERFSCAN_r02.txt): sampling saturates at batch 8
 (0.518 img/s; batch 16/32 plateau slightly lower), training at batch 16
