@@ -38,7 +38,11 @@ Findings (docs/SAMPLESCAN_r05.txt, v5e-1 via axon):
   batches pad to the same tile occupancy; batch 8 is the right default.
 
 Run: python tools/samplescan.py   (TPU; ~3 min)
-Writes docs/SAMPLESCAN_r05.txt.
+Writes docs/SAMPLESCAN_r05.txt (override with SCAN_OUT). Env knobs:
+SCAN_CONFIG, SCAN_STEPS (chain length, default 100), SCAN_BATCHES
+(csv, default "1,2,4,8,16"), SCAN_COST_BATCHES (csv, default "1,8"),
+SCAN_REPS (default 3). tests/test_samplescan.py drives main() on a
+micro model on CPU.
 
 Reference analog: none — the reference publishes no sampling-perf
 analysis; its chain is a Python loop over 2000 ``p_sample`` calls
@@ -86,7 +90,9 @@ def _cost(compiled):
         return None, None
 
 
-def time_chain(compiled, args, steps, reps=3):
+def time_chain(compiled, args, steps, reps=None):
+    if reps is None:
+        reps = int(os.environ.get("SCAN_REPS", 3))
     """ms/step, with a device_get round-trip to defeat the tunnel's
     optimistic block_until_ready (see module docstring)."""
     out = compiled(*args)
@@ -102,6 +108,7 @@ def time_chain(compiled, args, steps, reps=3):
 
 
 def main():
+    del LINES[:]
     config = os.environ.get("SCAN_CONFIG", "configs/sr_sr3_16_128.json")
     steps = int(os.environ.get("SCAN_STEPS", 100))
     opt = dict_to_nonedict(load_json_with_comments(config))
@@ -121,11 +128,18 @@ def main():
     pbf = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), params)
 
+    batches = tuple(
+        int(b) for b in
+        os.environ.get("SCAN_BATCHES", "1,2,4,8,16").split(","))
+    cost_batches = tuple(
+        int(b) for b in
+        os.environ.get("SCAN_COST_BATCHES", "1,8").split(","))
+
     log("\n-- chain ms/step: f32 params vs pre-cast bf16 params "
         "(img/s normalized to 2000 steps)")
     results = {}
     outs = {}
-    for B in (1, 2, 4, 8, 16):
+    for B in batches:
         x_sr = jnp.zeros((B, res, res, 3), jnp.float32)
         for tag, p in (("f32", params), ("bf16", pbf)):
             c = fn.lower(p, sched, x_sr, jax.random.PRNGKey(1)).compile()
@@ -148,7 +162,7 @@ def main():
         {"schedule": "linear", "n_timestep": 2000,
          "linear_start": 1e-6, "linear_end": 1e-2})
     hoisted = nparams * 4 + nparams * 2  # f32 read + bf16 write per step
-    for B in (1, 8):
+    for B in cost_batches:
         x_sr = jnp.zeros((B, res, res, 3), jnp.float32)
         img = jnp.zeros((B, res, res, 3), jnp.float32)
         one = jax.jit(
@@ -167,12 +181,16 @@ def main():
         log(f"batch {B:2d}: flops {fl / 1e9:7.1f} G  bytes(standalone) "
             f"{by / 1e9:.3f} GB  bytes(in-scan est, upper bound) "
             f"{by_scan / 1e9:.3f} GB")
+        if meas is None:
+            log(f"          compute floor {t_c:.2f} ms   bytes estimate "
+                f"{t_b:.2f} ms   (batch not in SCAN_BATCHES — no wall)")
+            continue
         log(f"          compute floor {t_c:.2f} ms   bytes estimate "
             f"{t_b:.2f} ms   measured {meas:.2f} ms -> >= "
             f"{t_b / meas:.2f}x of HBM roofline"
             + ("   [bytes-bound]" if t_b > t_c else "   [compute-bound]"))
 
-    out_path = os.path.join(
+    out_path = os.environ.get("SCAN_OUT") or os.path.join(
         os.path.dirname(__file__), "..", "docs", "SAMPLESCAN_r05.txt")
     with open(out_path, "w") as f:
         f.write("\n".join(LINES) + "\n")
