@@ -61,6 +61,9 @@ def test_bench_emits_metrics_headline_last(tmp_path):
     # end-to-end host-pipeline train line (PNG -> C++ decode -> step)
     assert metrics[1]["metric"] == "bench_tiny_train_step_loader_throughput"
     assert metrics[1]["fraction_of_synthetic_rate"] is not None
+    # gap attribution: dominant-component flags are mutually exclusive
+    assert metrics[1]["transfer_gap_ms"] >= 0
+    assert not (metrics[1]["input_bound"] and metrics[1]["transfer_bound"])
     metrics = [metrics[0]] + metrics[2:]
     # fewer-step lines are plain *_throughput — no matched_quality label:
     # the T=2000 requal (docs/SAMPLER_REQUAL_r04.json, eta explicit) and
